@@ -1,0 +1,134 @@
+package graft.pipeline
+
+import scala.collection.mutable
+import org.apache.spark.sql.{Dataset, SparkSession}
+import graft.model._
+import graft.analyze.Headings
+import graft.parse.PageParser
+
+/** The extraction engine: Dataset[InputDoc] -> ordered (kind, text,
+  * media_ref, offset) span sequences per document.
+  *
+  * Shape (north rule): one narrow mapPartitions per doc — parse pages,
+  * cross-page heading-frequency aggregation, running-head (boilerplate)
+  * strip, read-aloud rules, span emission in reference page order
+  * (announcement -> content elements -> figures -> page metadata, matching
+  * src/book_converter/transformer.py:307-338). The boilerplate aggregation
+  * is per-document, so it stays in-row: NO shuffle anywhere in this path.
+  * At 100 TB this scales linearly with input splits; docs are bounded
+  * (books, MBs) so no in-row skew. Cross-doc balance is handled by the
+  * salted repartition helper in [[Skew]].
+  */
+object Extract {
+
+  /** Pure per-document core — unit-testable without Spark. */
+  def extractDoc(doc: InputDoc, runningHeadThreshold: Double = 0.5): DocResult = {
+    val lines = doc.spans.sortBy(_.offset).map(_.text).toIndexedSeq
+    val parsed = PageParser.parseDocument(lines)
+
+    // convert_book (cli.py:137-196): analyze all headings across pages,
+    // detect running head, rewrite read_aloud.
+    val allHeadings: Vector[Heading] = parsed.pages.flatMap(_.elements).collect {
+      case h: Heading => h
+    }
+    val analyses0 = Headings.analyze(allHeadings)
+    val analyses = Headings.detectRunningHead(analyses0, parsed.pages.length, runningHeadThreshold)
+    val processed = Headings.applyReadAloudRules(allHeadings, analyses)
+    // original heading identity -> processed (cli.py:103-135 heading_map)
+    val processedIter = processed.iterator
+
+    val spans = Vector.newBuilder[OutSpan]
+    var offset = 0
+    var charCount = 0L
+    def emit(kind: String, text: String, mediaRef: String, pageNo: String, level: Int,
+        readAloud: Boolean, attrs: String): Unit = {
+      spans += OutSpan(doc.doc_id, offset, kind, text, mediaRef, pageNo, level, readAloud, attrs)
+      offset += 1
+      charCount += text.length
+    }
+
+    // Book-level TOC first (xml_builder.py:44-48 puts <toc> before pages).
+    parsed.tocEntries.foreach { e =>
+      emit("toc", e.text, "", e.page, e.level, readAloud = true,
+        attrs = if (e.number.nonEmpty) s"number=${e.number}" else "")
+    }
+
+    parsed.pages.foreach { page =>
+      emit("page", page.number, "", page.number, 0, readAloud = false,
+        attrs = s"sourceFile=${page.sourceFile}")
+      page.elements.foreach {
+        case h: Heading =>
+          val ph = processedIter.next() // same order as _extract_headings
+          emit("heading", ph.text, "", page.number, ph.level, ph.readAloud, "")
+        case p: Paragraph =>
+          emit("paragraph", p.text, "", page.number, 0, p.readAloud, "")
+        case l: ListEl =>
+          emit("list", l.items.mkString("\n"), "", page.number, 0, l.readAloud,
+            attrs = s"listType=${l.listType}")
+      }
+      page.figures.foreach { f =>
+        emit("figure", f.caption, f.path, page.number, 0, readAloud = false, "")
+      }
+      page.metadata.foreach { m =>
+        emit("pagemeta", m.text, "", page.number, 0, readAloud = false,
+          attrs = s"metaType=${m.metaType}")
+      }
+    }
+
+    val out = spans.result()
+    DocResult(doc.doc_id, out, parsed.errors, parsed.pages.length, out.length, charCount)
+  }
+
+  /** Distributed entry: one pass, no shuffle. */
+  def run(docs: Dataset[InputDoc], runningHeadThreshold: Double = 0.5): Dataset[DocResult] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.mapPartitions(_.map(extractDoc(_, runningHeadThreshold)))
+  }
+
+  /** Flat span table (doc_id, offset, kind, text, media_ref, ...). */
+  def spans(docs: Dataset[InputDoc], runningHeadThreshold: Double = 0.5): Dataset[OutSpan] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.mapPartitions(_.flatMap(d => extractDoc(d, runningHeadThreshold).spans))
+  }
+}
+
+/** Sequential near-dup page filter (perceptual-hash dedup).
+  * Faithful to src/preprocessing/deduplicate.py:45-62: keep a frame iff
+  * hamming distance to the PREVIOUS KEPT frame >= threshold. The state is
+  * "last kept", not "last row", so this is an order-dependent fold per
+  * doc — in-row over the sorted frame array, never a window lag.
+  */
+object PhashDedup {
+
+  /** frames: (frameIdx, phash64) sorted by frameIdx; returns kept indices
+    * renumbered 1..n like renumber_pages. */
+  def dedupe(frames: Seq[(Int, Long)], hashThreshold: Int = 8): Vector[(Int, Int, Long)] = {
+    val kept = Vector.newBuilder[(Int, Int, Long)]
+    var prevHash: Option[Long] = None
+    var pageNum = 1
+    frames.sortBy(_._1).foreach { case (idx, h) =>
+      val dup = prevHash.exists(p => java.lang.Long.bitCount(p ^ h) < hashThreshold)
+      if (!dup) {
+        kept += ((idx, pageNum, h))
+        prevHash = Some(h)
+        pageNum += 1
+      }
+    }
+    kept.result()
+  }
+}
+
+/** Salt-based skew mitigation for oversized books (north rule).
+  * Docs are atomic (order-dependent folds inside a doc), so salting only
+  * spreads docs ACROSS partitions, never splits one: repartition by
+  * hash(doc_id, salt) where salt = hash(doc_id) % salts.
+  */
+object Skew {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.functions._
+
+  def repartitionByDocHash(df: DataFrame, numPartitions: Int, salts: Int = 16): DataFrame =
+    df.repartition(numPartitions, hash(col("doc_id"), pmod(hash(col("doc_id")), lit(salts))))
+}

@@ -1,0 +1,43 @@
+package graft.text
+
+/** Python-compatible string primitives.
+  *
+  * The reference is Python; its `str.strip()` / `\s` semantics cover
+  * unicode whitespace (U+3000 ideographic space, NBSP, ...) that Java's
+  * `String.trim` / ASCII `\s` do not. Centralised here so every operator
+  * matches the reference bit-for-bit on Japanese text.
+  */
+object Py {
+
+  /** Python str.isspace()-equivalent per char (unicode whitespace).
+    * Character.isWhitespace covers U+3000 but excludes non-breaking
+    * spaces, which Python treats as whitespace. */
+  def isSpace(c: Char): Boolean =
+    Character.isWhitespace(c) || c == 0x00a0.toChar || c == 0x2007.toChar ||
+      c == 0x202f.toChar || c == 0x0085.toChar
+
+  /** Python str.strip() (no args). */
+  def strip(s: String): String = {
+    var i = 0
+    var j = s.length
+    while (i < j && isSpace(s.charAt(i))) i += 1
+    while (j > i && isSpace(s.charAt(j - 1))) j -= 1
+    if (i == 0 && j == s.length) s else s.substring(i, j)
+  }
+
+  def lstrip(s: String): String = {
+    var i = 0
+    while (i < s.length && isSpace(s.charAt(i))) i += 1
+    if (i == 0) s else s.substring(i)
+  }
+
+  def rstrip(s: String): String = {
+    var j = s.length
+    while (j > 0 && isSpace(s.charAt(j - 1))) j -= 1
+    if (j == s.length) s else s.substring(0, j)
+  }
+
+  /** Python str.isalnum() per char (unicode letters/digits). */
+  def isAlnum(c: Char): Boolean =
+    Character.isLetterOrDigit(c)
+}

@@ -1,0 +1,139 @@
+package graft.text
+
+import scala.collection.mutable
+
+/** Faithful Scala port of CPython `difflib.SequenceMatcher` over Chars
+  * (isjunk=None, autojunk=True) — the similarity primitive the reference
+  * uses for TOC fuzzy matching (src/book_converter/heading_matcher.py:206),
+  * whole-page voting (src/ocr_ensemble/voting.py:143-149) and ROVER char
+  * alignment (src/rover/alignment.py:104).
+  *
+  * Implements the published Ratcliff/Obershelp variant from the CPython
+  * standard library (public source), including the autojunk "popular
+  * element" heuristic (b longer than 199 chars: chars occurring more than
+  * 1% are excluded from match seeding but still joinable by extension —
+  * observable in opcodes, so required for fixture parity).
+  */
+object SeqRatio {
+
+  final case class Match(a: Int, b: Int, size: Int)
+  /** tag in {"equal","replace","delete","insert"} with [i1,i2) in a, [j1,j2) in b */
+  final case class Opcode(tag: String, i1: Int, i2: Int, j1: Int, j2: Int)
+
+  final class Matcher(a: String, b: String) {
+    private val la = a.length
+    private val lb = b.length
+
+    // b2j: char -> ascending positions in b, with autojunk-popular removed
+    private val b2j: mutable.HashMap[Char, mutable.ArrayBuffer[Int]] = {
+      val m = mutable.HashMap.empty[Char, mutable.ArrayBuffer[Int]]
+      var j = 0
+      while (j < lb) {
+        m.getOrElseUpdate(b.charAt(j), mutable.ArrayBuffer.empty[Int]) += j
+        j += 1
+      }
+      if (lb >= 200) {
+        val ntest = lb / 100 + 1
+        val popular = m.iterator.collect { case (c, idxs) if idxs.length > ntest => c }.toList
+        popular.foreach(m.remove)
+      }
+      m
+    }
+
+    // isjunk=None => bjunk empty; isbjunk always false.
+
+    def findLongestMatch(alo: Int, ahi: Int, blo: Int, bhi: Int): Match = {
+      var besti = alo
+      var bestj = blo
+      var bestsize = 0
+      var j2len = mutable.HashMap.empty[Int, Int]
+      var i = alo
+      while (i < ahi) {
+        val newj2len = mutable.HashMap.empty[Int, Int]
+        b2j.get(a.charAt(i)) match {
+          case Some(idxs) =>
+            var p = 0
+            var break = false
+            while (p < idxs.length && !break) {
+              val j = idxs(p)
+              if (j < blo) ()
+              else if (j >= bhi) break = true
+              else {
+                val k = j2len.getOrElse(j - 1, 0) + 1
+                newj2len(j) = k
+                if (k > bestsize) { besti = i - k + 1; bestj = j - k + 1; bestsize = k }
+              }
+              p += 1
+            }
+          case None =>
+        }
+        j2len = newj2len
+        i += 1
+      }
+      // Extend over non-junk (all chars are non-junk here except popular,
+      // which were removed from b2j but remain extendable — matching
+      // CPython where isbjunk is False for popular chars).
+      var bi = besti; var bj = bestj; var bs = bestsize
+      while (bi > alo && bj > blo && a.charAt(bi - 1) == b.charAt(bj - 1)) {
+        bi -= 1; bj -= 1; bs += 1
+      }
+      while (bi + bs < ahi && bj + bs < bhi && a.charAt(bi + bs) == b.charAt(bj + bs)) bs += 1
+      Match(bi, bj, bs)
+    }
+
+    lazy val matchingBlocks: Vector[Match] = {
+      val queue = mutable.Stack((0, la, 0, lb))
+      val blocks = mutable.ArrayBuffer.empty[Match]
+      while (queue.nonEmpty) {
+        val (alo, ahi, blo, bhi) = queue.pop()
+        val m = findLongestMatch(alo, ahi, blo, bhi)
+        if (m.size > 0) {
+          blocks += m
+          if (alo < m.a && blo < m.b) queue.push((alo, m.a, blo, m.b))
+          if (m.a + m.size < ahi && m.b + m.size < bhi)
+            queue.push((m.a + m.size, ahi, m.b + m.size, bhi))
+        }
+      }
+      val sorted = blocks.sortBy(m => (m.a, m.b, m.size))
+      // merge adjacent
+      var i1 = 0; var j1 = 0; var k1 = 0
+      val out = mutable.ArrayBuffer.empty[Match]
+      sorted.foreach { case Match(i2, j2, k2) =>
+        if (i1 + k1 == i2 && j1 + k1 == j2) k1 += k2
+        else {
+          if (k1 > 0) out += Match(i1, j1, k1)
+          i1 = i2; j1 = j2; k1 = k2
+        }
+      }
+      if (k1 > 0) out += Match(i1, j1, k1)
+      out += Match(la, lb, 0)
+      out.toVector
+    }
+
+    lazy val opcodes: Vector[Opcode] = {
+      var i = 0; var j = 0
+      val answer = mutable.ArrayBuffer.empty[Opcode]
+      matchingBlocks.foreach { case Match(ai, bj, size) =>
+        val tag =
+          if (i < ai && j < bj) "replace"
+          else if (i < ai) "delete"
+          else if (j < bj) "insert"
+          else ""
+        if (tag.nonEmpty) answer += Opcode(tag, i, ai, j, bj)
+        i = ai + size; j = bj + size
+        if (size > 0) answer += Opcode("equal", ai, i, bj, j)
+      }
+      answer.toVector
+    }
+
+    def ratio: Double = {
+      val matches = matchingBlocks.iterator.map(_.size).sum
+      if (la + lb == 0) 1.0 else 2.0 * matches / (la + lb)
+    }
+  }
+
+  /** difflib.SequenceMatcher(None, a, b).ratio() */
+  def ratio(a: String, b: String): Double = new Matcher(a, b).ratio
+
+  def opcodes(a: String, b: String): Vector[Opcode] = new Matcher(a, b).opcodes
+}

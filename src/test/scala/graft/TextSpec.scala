@@ -1,0 +1,158 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model.{Heading, Paragraph, Region}
+import graft.analyze.Headings
+import graft.layout.ReadingOrder
+import graft.parse.{Markers, Paragraphs, TocParse}
+import graft.pipeline.PhashDedup
+import graft.text.Normalize
+
+class TextSpec extends AnyFunSuite {
+
+  test("dash normalization folds all 7 variants (analyzer.py:16-38)") {
+    assert(Normalize.dashes("a—b–c―d‐e−fーg－h") == "a-b-c-d-e-f-g-h")
+  }
+
+  test("number format: full-width + separators (heading_normalizer.py:47-91)") {
+    assert(Normalize.numberFormat("１．１ 概要") == "1.1 概要")
+    assert(Normalize.numberFormat("1-1-1 タイトル") == "1.1.1 タイトル")
+    assert(Normalize.numberFormat("1・2 タイトル") == "1.2 タイトル")
+    assert(Normalize.numberFormat("SRE-based approach") == "SRE-based approach")
+  }
+
+  test("space normalization to fixpoint (heading_normalizer.py:94-125)") {
+    assert(Normalize.spaces("第 1 章 はじめに") == "第1章 はじめに")
+    assert(Normalize.spaces("1. 2. 3 タイトル") == "1.2.3 タイトル")
+  }
+
+  test("special marker detection") {
+    assert(Normalize.isSpecialMarker("■ 項目"))
+    assert(Normalize.isSpecialMarker("  ◆ x"))
+    assert(!Normalize.isSpecialMarker("項目 ■"))
+  }
+
+  test("page markers: all 4 formats (page.py:38-116)") {
+    assert(Markers.extractPageNumber("--- Page 1 (page_0001.png) ---") == ("1", "page_0001.png"))
+    assert(Markers.extractPageNumber("--- page_0012 ---") == ("12", "page_0012"))
+    assert(Markers.extractPageNumber("--- Page (scan.png) ---") == ("", "scan.png"))
+    assert(Markers.extractPageNumber("--- Page: page_0003.png ---") == ("3", "page_0003.png"))
+    assert(Markers.extractPageNumber("通常の行") == ("", ""))
+  }
+
+  test("page metadata: chapter vs section (page.py:134-176)") {
+    val m = Markers.parsePageMetadata("はじめに 1 / 3").get
+    assert(m.metaType == "chapter-page" && m.sectionName == "はじめに" && m.current == 1 && m.total == 3)
+    assert(Markers.parsePageMetadata("第1節 5 / 10").get.metaType == "section-page")
+    assert(Markers.parsePageMetadata("本文です").isEmpty)
+  }
+
+  test("list detection: bullets and ordered (utils.py:15-74)") {
+    assert(Markers.isListLine("- item") == ((true, "unordered", "item")))
+    assert(Markers.isListLine("・ 項目") == ((true, "unordered", "項目")))
+    assert(Markers.isListLine("1. 手順") == ((true, "ordered", "手順")))
+    assert(Markers.isListLine("① 丸数字") == ((true, "ordered", "丸数字")))
+    assert(Markers.isListLine("（2） 括弧") == ((true, "ordered", "括弧")))
+    assert(Markers.isListLine("-") == ((false, "", ""))) // no content
+    assert(Markers.isListLine("本文です") == ((false, "", "")))
+  }
+
+  test("figure parsing: comment + bold caption (figure.py:49-167)") {
+    assert(Markers.parseFigureComment("<!-- FIGURE: figs/a.png -->").contains("figs/a.png"))
+    assert(Markers.parseFigureComment("<!-- figure: b.jpg -->").contains("b.jpg"))
+    val fig = Markers.parseFigure(Vector("<!-- FIGURE: x.png -->", "**キャプション**", "説明文。")).get
+    assert(fig.path == "x.png" && fig.caption == "キャプション")
+  }
+
+  test("paragraph continuation merge incl. chain quirk (paragraph.py:97-159)") {
+    val ps = Vector(Paragraph("これは継続"), Paragraph("まだ継続"), Paragraph("段落です。"), Paragraph("次。"))
+    assert(Paragraphs.mergeContinuation(ps).map(_.text) ==
+      Vector("これは継続まだ継続段落です。", "次。"))
+    // terminators: ！ ? 。 . and 」。/）。
+    assert(Paragraphs.mergeContinuation(Vector(Paragraph("終わり！"), Paragraph("次です。")))
+      .map(_.text) == Vector("終わり！", "次です。"))
+    // last paragraph kept even unterminated
+    assert(Paragraphs.mergeContinuation(Vector(Paragraph("a。"), Paragraph("未完")))
+      .map(_.text) == Vector("a。", "未完"))
+  }
+
+  test("toc entry parse: leaders and levels (toc.py:327-482)") {
+    assert(TocParse.parseTocEntry("2.1 SLOの理解 ─── 30").get ==
+      graft.model.TocEntry("SLOの理解", 2, "2.1", "30"))
+    assert(TocParse.parseTocEntry("Chapter 3 Advanced .... 42").get ==
+      graft.model.TocEntry("Advanced", 1, "3", "42"))
+    assert(TocParse.parseTocEntry("1.2.3.4.5 深い項目 12").get.level == 5)
+    assert(TocParse.parseTocEntry("はじめに .... 3").get ==
+      graft.model.TocEntry("はじめに", 1, "", "3"))
+    assert(TocParse.parseTocEntry("4 「進捗管理」で失敗").get ==
+      graft.model.TocEntry("「進捗管理」で失敗", 1, "4", ""))
+  }
+
+  test("toc multiline merge (toc.py:108-209)") {
+    assert(TocParse.mergeTocLines(Vector("Chapter", "1 Title")) == Vector("Chapter 1 Title"))
+    assert(TocParse.mergeTocLines(Vector("Episode 01", "Title")) == Vector("Episode 01 Title"))
+    assert(TocParse.mergeTocLines(Vector("Column", "", "Title")) == Vector("Column Title"))
+    assert(TocParse.mergeTocLines(Vector("Chapter", "Title no digit")) ==
+      Vector("Chapter", "Title no digit"))
+  }
+
+  test("heading analysis: most frequent level, ties -> smaller (analyzer.py:41-99)") {
+    val hs = Vector(Heading(2, "柱"), Heading(1, "柱"), Heading(1, "柱"), Heading(3, "他"))
+    val a = Headings.analyze(hs)
+    assert(a.map(x => (x.text, x.level, x.count)) == Vector(("柱", 1, 3), ("他", 3, 1)))
+    // tie between levels 2 and 1 -> smaller level wins
+    val tie = Headings.analyze(Vector(Heading(2, "t"), Heading(1, "t")))
+    assert(tie.head.level == 1)
+  }
+
+  test("running head threshold max(pages*0.5, 2) (analyzer.py:102-151)") {
+    val a = Headings.analyze(Vector.fill(2)(Heading(1, "柱テキスト")))
+    assert(Headings.detectRunningHead(a, 3).head.isRunningHead) // 2 >= max(1.5, 2)
+    val b = Headings.analyze(Vector(Heading(1, "一度だけ")))
+    assert(!Headings.detectRunningHead(b, 2).head.isRunningHead) // 1 < 2
+  }
+
+  test("exclusion patterns (config.py:12-61)") {
+    assert(Headings.matchExclusionPattern("タイトル — 3 / 10").contains("page-number"))
+    assert(Headings.matchExclusionPattern("◆◆◆").contains("decoration"))
+    assert(Headings.matchExclusionPattern("Section 2.1").contains("section-label"))
+    assert(Headings.matchExclusionPattern("Webサイト").contains("reference"))
+    assert(Headings.matchExclusionPattern("注1.2 補足").contains("footnote"))
+    assert(Headings.matchExclusionPattern("普通の見出し").isEmpty)
+  }
+
+  test("reading order: L/R column cut + (y, priority, x) (reading_order.py:10-65)") {
+    val rs = Vector(
+      Region("TEXT", 600, 100, 700, 120, 0.9), // right col
+      Region("TEXT", 0, 100, 100, 120, 0.9), // left col, same y as title
+      Region("TITLE", 0, 100, 200, 130, 0.9), // left col, priority 0
+      Region("TEXT", 0, 300, 100, 320, 0.9)
+    )
+    val sorted = ReadingOrder.sortReadingOrder(rs, 1000)
+    assert(sorted.map(r => (r.kind, r.x1, r.y1)) == Vector(
+      ("TITLE", 0, 100), ("TEXT", 0, 100), ("TEXT", 0, 300), ("TEXT", 600, 100)))
+  }
+
+  test("overlap removal: min-area IoU >= 0.5, same type, lower conf dropped") {
+    val rs = Vector(
+      Region("TEXT", 0, 0, 100, 100, 0.8),
+      Region("TEXT", 10, 10, 90, 90, 0.9), // contained -> IoU 1.0, higher conf wins
+      Region("FIGURE", 0, 0, 100, 100, 0.1) // different type, kept
+    )
+    val kept = ReadingOrder.removeOverlaps(rs)
+    assert(kept.map(_.confidence) == Vector(0.9, 0.1))
+  }
+
+  test("phash dedup: distance vs last KEPT, renumbered (deduplicate.py:45-62)") {
+    // frames: A, A' (close to A), B (far), B' (close to B but far from A)
+    val a = 0xffff000000000000L
+    val a2 = a ^ 0x7L // distance 3 < 8 -> dropped
+    val b = 0x0000ffff00000000L
+    val b2 = b ^ 0x1fL // distance 5 from b -> dropped
+    val kept = PhashDedup.dedupe(Vector((1, a), (2, a2), (3, b), (4, b2)))
+    assert(kept == Vector((1, 1, a), (3, 2, b)))
+    // idempotence
+    val again = PhashDedup.dedupe(kept.map { case (_, n, h) => (n, h) })
+    assert(again.map(_._3) == kept.map(_._3))
+  }
+}
