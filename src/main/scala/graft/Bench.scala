@@ -1,24 +1,54 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Runs every SparkEntry query once (count) on
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line for the driver.
+  *
+  * Also reports extraction throughput (docs/sec on the synthetic
+  * interleaved corpus) — the BASELINE.json headline metric. Scaling
+  * evidence (local[8] vs local[32]) is produced by running this main at
+  * two SPARK_GRAFT_CPUS values; see BASELINE.md.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def time[A](f: => A): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      f
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // headline: extraction docs/sec (north-rule metric), after a JVM warmup
+    val docs = graft.io.SyntheticCorpus.docsForSfDir(spark, sfDir)
+    val nDocs = docs.count()
+    graft.pipeline.Extract.run(docs.limit(64)).count() // warmup (codegen/JIT)
+    val extractSec = time(graft.pipeline.Extract.run(docs).count())
+    val docsPerSec = nDocs / extractSec
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val sec = try {
+        time(fn(spark, sfDir).count())
+      } catch { case _: Throwable => -1.0 }
+      name -> sec
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+        s""""extract_docs":$nDocs,"extract_sec":$extractSec,"extract_docs_per_sec":$docsPerSec,""" +
+        s""""cpus":$cpus}""")
     spark.stop()
   }
 }

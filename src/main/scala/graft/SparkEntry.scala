@@ -1,13 +1,385 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.io.SyntheticCorpus
+import graft.model.{Region, TextWithBox}
+import graft.ops.{Dedup, Similarity, TextAnalytics}
+import graft.pipeline.{Extract, PhashDedup}
+
+/** Driver contract — queries (one per operator family from SURVEY.md §2 +
+  * the training-data ops) and their DuckDB oracles.
+  *
+  * Naming: `q_*` have DuckDB oracle SQL (driver hash-compares values);
+  * `x_*` are extraction-engine queries on the deterministic synthetic
+  * corpus (non-SQL-expressible -> rows-only check; their correctness gate
+  * is the golden-fixture ScalaTest suite).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship: full extraction over the synthetic interleaved corpus. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Extract.spans(SyntheticCorpus.docsForSfDir(spark, "sf0.001")).toDF()
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- extraction engine (golden-tested; rows-only here) ----------------
+    "x_extract_spans" -> ((s, dir) => Extract.spans(SyntheticCorpus.docsForSfDir(s, dir)).toDF()),
+    "x_extract_docs" -> ((s, dir) => {
+      val d = Extract.run(SyntheticCorpus.docsForSfDir(s, dir)).toDF()
+      d.select(col("doc_id"), col("n_pages"), col("span_count"), col("char_count"))
+    }),
+    "x_rover_vote" -> ((s, dir) => roverQuery(s, dir)),
+    "x_reading_order" -> ((s, dir) => readingOrderQuery(s, dir)),
+    "x_phash_dedup" -> ((s, dir) => phashQuery(s, dir)),
+    "x_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents").withColumn("doc_id", col("doc_id").cast("string")), maxDist = 16)),
+    "x_media_meta" -> ((s, dir) => {
+      import s.implicits._
+      graft.multimodal.Media.extractMeta(
+        graft.multimodal.Media.syntheticMedia(s, SyntheticCorpus.docsForSfDir(s, dir))).toDF()
+    }),
+    "x_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.where(col("vec_id") < 10), dimCount = 64, k = 5, nPlanes = 6)
+    }),
+
+    // ---- relational operator families (oracle-gated) ----------------------
+    "q_agg_lineitem" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).cast("double").as("sum_qty"),
+          count(lit(1)).as("n_rows"),
+          round(avg(col("l_extendedprice")), 2).as("avg_price"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+    "q_join_broadcast" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_customers"), round(sum(col("c_acctbal")), 2).as("sum_acctbal"))
+        .orderBy(col("r_name"))),
+    "q_topk_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("value").desc, col("event_id").asc)
+      t(s, dir, "events")
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 3)
+        .select(col("event_type"), col("rnk"), col("event_id"), col("value"))
+        .orderBy(col("event_type"), col("rnk"))
+    }),
+    "q_forward_fill" -> ((s, dir) => {
+      // section forward-fill analog (assignment.py:138-174): last non-null
+      // 'purchase' value carried forward per user in time order.
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("purchase_val",
+          when(col("event_type") === "purchase", col("value")))
+        .withColumn("filled", last(col("purchase_val"), ignoreNulls = true).over(w))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(coalesce(col("filled"), lit(0.0))), 2).as("sum_filled"))
+        .orderBy(col("user_id"))
+    }),
+    "q_sessionize" -> ((s, dir) => {
+      // stateful sequential analog (SURVEY §2.9): gap > 1800s starts a new
+      // session; count sessions per user.
+      val wl = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(wl))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            col("ts").cast("timestamp").cast("double") -
+              col("prev_ts").cast("timestamp").cast("double") > 1800, 1).otherwise(0))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    }),
+    "q_sort_limit" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+        .select(col("o_orderkey"), col("o_totalprice"))),
+
+    // ---- text analytics over documents (oracle-gated) ---------------------
+    "q_token_stats" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalytics.tokenCount(col("text")).as("n_tokens"),
+          length(col("text")).as("n_len"))
+        .orderBy(col("doc_id"))),
+    "q_quality" -> ((s, dir) =>
+      TextAnalytics.withQuality(t(s, dir, "documents"))
+        .select("doc_id", "n_tokens", "alpha_ratio", "space_ratio", "stopword_ratio")
+        .orderBy(col("doc_id"))),
+    "q_langid" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"), TextAnalytics.langIdExpr(col("text")).as("pred_lang"))
+        .groupBy(col("lang"), col("pred_lang")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("pred_lang"))),
+    "q_word_freq" -> ((s, dir) =>
+      // boilerplate-frequency aggregation analog (analyzer.py:41-99):
+      // groupBy normalized token -> count, kept if above threshold.
+      t(s, dir, "documents")
+        .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+        .select(translate(col("token"), DashFrom, DashTo).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .where(col("n") >= 10)
+        .orderBy(col("n").desc, col("token"))),
+    "q_running_head" -> ((s, dir) => {
+      // detect_running_head analog per source group: most frequent token,
+      // flagged iff count >= max(n_docs * 0.5, 2).
+      val docs = t(s, dir, "documents")
+      val tok = docs.select(col("source"), explode(split(trim(col("text")), "\\s+")).as("token"))
+        .groupBy(col("source"), col("token")).agg(count(lit(1)).as("n"))
+      val perSource = docs.groupBy(col("source")).agg(countDistinct(col("doc_id")).as("n_docs"))
+      val w = Window.partitionBy(col("source")).orderBy(col("n").desc, col("token").asc)
+      tok.withColumn("rnk", row_number().over(w))
+        .where(col("rnk") === 1)
+        .join(perSource, "source")
+        .withColumn("is_running_head",
+          col("n") >= greatest(col("n_docs") * 0.5, lit(2.0)))
+        .select(col("source"), col("token"), col("n"), col("n_docs"), col("is_running_head"))
+        .orderBy(col("source"))
+    }),
+    "q_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("fp_md5"))
+        .orderBy(col("doc_id"))),
+
+    // ---- dedup family (oracle-gated) ---------------------------------------
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exactDupGroups(
+        t(s, dir, "documents").withColumn("doc_id", col("doc_id").cast("string")))
+        .orderBy(col("fp_md5"))),
+    "q_minhash_sig" -> ((s, dir) =>
+      Dedup.minhashSignatures(
+        t(s, dir, "documents").where(col("doc_id") < 20), bands = 4, shingleK = 5)
+        .orderBy(col("doc_id"), col("band"))),
+    "q_lsh_pairs" -> ((s, dir) =>
+      Dedup.lshCandidatePairs(
+        Dedup.minhashSignatures(t(s, dir, "documents"), bands = 8, shingleK = 8))
+        .orderBy(col("doc_a"), col("doc_b"))),
+    "q_ngram_jaccard" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val small = docs.where(col("doc_id") < 6)
+      val pairs = small.select(col("doc_id").as("doc_a"))
+        .crossJoin(small.select(col("doc_id").as("doc_b")))
+        .where(col("doc_a") < col("doc_b"))
+      Dedup.ngramJaccard(docs, pairs, n = 3).orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // ---- similarity search (oracle-gated brute force) ----------------------
+    "q_ann_brute" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 10), k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    })
+  )
+
+  // translate() args for dash normalization in q_word_freq
+  private val DashFrom = "—–―‐−ー－"
+  private val DashTo = "-------"
+
+  def oracleSql: Map[String, String] = Map(
+    "q_agg_lineitem" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+         count(*) AS n_rows,
+         round(avg(l_extendedprice), 2) AS avg_price
+         FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_join_broadcast" ->
+      """SELECT r_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS sum_acctbal
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY 1 ORDER BY 1""",
+    "q_topk_per_group" ->
+      """SELECT event_type, rnk, event_id, value FROM (
+           SELECT event_type, event_id, value,
+                  row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rnk
+           FROM events) WHERE rnk <= 3 ORDER BY event_type, rnk""",
+    "q_forward_fill" ->
+      """SELECT user_id, count(*) AS n_events,
+                round(sum(coalesce(filled, 0.0)), 2) AS sum_filled
+         FROM (
+           SELECT user_id,
+                  last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+           FROM events)
+         GROUP BY user_id ORDER BY user_id""",
+    "q_sessionize" ->
+      """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
+         FROM (
+           SELECT user_id,
+                  CASE WHEN prev_ts IS NULL
+                       OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_session
+           FROM (SELECT user_id, ts,
+                        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+                 FROM events))
+         GROUP BY user_id ORDER BY user_id""",
+    "q_sort_limit" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""",
+    "q_token_stats" ->
+      """SELECT doc_id,
+                CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+                length(text) AS n_len
+         FROM documents ORDER BY doc_id""",
+    "q_quality" ->
+      """SELECT doc_id,
+                CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+                round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+                      / greatest(length(text), 1), 4) AS alpha_ratio,
+                round(length(regexp_replace(text, '[^ ]', '', 'g')) * 1.0
+                      / greatest(length(text), 1), 4) AS space_ratio,
+                round(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                          w -> list_contains(['the','a','an','of','to','and','in','is','it','for'], lower(w)))) * 1.0
+                      / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1), 4) AS stopword_ratio
+         FROM documents ORDER BY doc_id""",
+    "q_langid" ->
+      """SELECT lang,
+                CASE WHEN length(regexp_replace(text, '[^぀-ヿ]', '', 'g')) * 1.0 / greatest(length(text),1) > 0.1 THEN 'ja'
+                     WHEN length(regexp_replace(text, '[^가-힯]', '', 'g')) * 1.0 / greatest(length(text),1) > 0.1 THEN 'ko'
+                     WHEN length(regexp_replace(text, '[^一-鿿]', '', 'g')) * 1.0 / greatest(length(text),1) > 0.3 THEN 'zh'
+                     WHEN length(regexp_replace(text, '[^Ѐ-ӿ]', '', 'g')) * 1.0 / greatest(length(text),1) > 0.3 THEN 'ru'
+                     WHEN length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 / greatest(length(text),1) > 0.3 THEN 'en'
+                     ELSE 'unknown' END AS pred_lang,
+                count(*) AS n
+         FROM documents GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_word_freq" ->
+      """SELECT translate(token, '—–―‐−ー－', '-------') AS token, count(*) AS n
+         FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token FROM documents)
+         GROUP BY 1 HAVING count(*) >= 10 ORDER BY n DESC, token""",
+    "q_running_head" ->
+      """WITH tok AS (
+           SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+           FROM documents),
+         cnt AS (
+           SELECT source, token, count(*) AS n FROM tok GROUP BY 1, 2),
+         top1 AS (
+           SELECT source, token, n,
+                  row_number() OVER (PARTITION BY source ORDER BY n DESC, token ASC) AS rnk
+           FROM cnt),
+         nd AS (SELECT source, count(DISTINCT doc_id) AS n_docs FROM documents GROUP BY 1)
+         SELECT t.source, t.token, t.n, nd.n_docs,
+                t.n >= greatest(nd.n_docs * 0.5, 2.0) AS is_running_head
+         FROM top1 t JOIN nd ON t.source = nd.source
+         WHERE t.rnk = 1 ORDER BY t.source""",
+    "q_fingerprint" ->
+      "SELECT doc_id, md5(text) AS fp_md5 FROM documents ORDER BY doc_id",
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS fp_md5, count(*) AS n_copies,
+                min(CAST(doc_id AS VARCHAR)) AS representative
+         FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""",
+    "q_minhash_sig" ->
+      """WITH sh AS (
+           SELECT DISTINCT doc_id,
+                  unnest(CASE WHEN length(text) < 5 THEN [text]
+                         ELSE [substr(text, i, 5) FOR i IN range(1, length(text) - 3)] END) AS sh
+           FROM documents WHERE doc_id < 20),
+         banded AS (
+           SELECT doc_id, unnest([0, 1, 2, 3]) AS band, sh FROM sh)
+         SELECT doc_id, band, min(md5(CAST(band AS VARCHAR) || ':' || sh)) AS sig
+         FROM banded GROUP BY 1, 2 ORDER BY doc_id, band""",
+    "q_lsh_pairs" ->
+      """WITH sh AS (
+           SELECT DISTINCT doc_id,
+                  unnest(CASE WHEN length(text) < 8 THEN [text]
+                         ELSE [substr(text, i, 8) FOR i IN range(1, length(text) - 6)] END) AS sh
+           FROM documents),
+         banded AS (
+           SELECT doc_id, unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS band, sh FROM sh),
+         sig AS (
+           SELECT doc_id, band, min(md5(CAST(band AS VARCHAR) || ':' || sh)) AS sig
+           FROM banded GROUP BY 1, 2)
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+         ORDER BY doc_a, doc_b""",
+    "q_ngram_jaccard" ->
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+           FROM documents WHERE doc_id < 6),
+         ng AS (
+           SELECT doc_id,
+                  list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                       ELSE [array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)] END) AS ngrams
+           FROM toks)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                round(len(list_intersect(a.ngrams, b.ngrams)) * 1.0
+                      / greatest(len(list_distinct(list_concat(a.ngrams, b.ngrams))), 1), 4) AS jaccard
+         FROM ng a JOIN ng b ON a.doc_id < b.doc_id
+         ORDER BY doc_a, doc_b""",
+    "q_ann_brute" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+                    FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cvec FROM embeddings),
+         scored AS (
+           SELECT q.query_id, c.neighbor_id,
+                  list_inner_product(q.qvec, c.cvec)
+                    / (sqrt(list_inner_product(q.qvec, q.qvec))
+                       * sqrt(list_inner_product(c.cvec, c.cvec))) AS sim
+           FROM q, c WHERE q.query_id <> c.neighbor_id),
+         ranked AS (
+           SELECT query_id, neighbor_id, sim,
+                  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+           FROM scored)
+         SELECT query_id, rank, neighbor_id, round(sim, 4) AS sim
+         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+  )
+
+  // ---- synthetic inputs for the x_* operator queries ------------------------
+
+  private def roverQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // synthetic multi-engine page observations derived from documents text
+    val pages = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+    pages.map { case (id, text) =>
+      val toks = text.split(" ").take(12)
+      val engines = Vector("yomitoku", "paddleocr", "easyocr").map { e =>
+        val items = toks.grouped(4).zipWithIndex.map { case (ws, li) =>
+          TextWithBox(ws.mkString("一"), 0, li * 100, 120, li * 100 + 20,
+            if (e == "paddleocr") 0.95 else 0.8)
+        }.toVector
+        e -> items
+      }
+      val r = graft.vote.Rover.roverMerge(engines)
+      (id, r.text, r.lines.length, r.gapsFilled)
+    }.toDF("doc_id", "voted_text", "n_lines", "gaps_filled")
+  }
+
+  private def readingOrderQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(s"$dir/documents.parquet").select(col("doc_id")).as[Long].map { id =>
+      val r = new java.util.Random(id)
+      val regions = Vector.fill(8 + r.nextInt(8)) {
+        val kinds = Vector("TITLE", "TEXT", "CAPTION", "FIGURE", "TABLE")
+        Region(kinds(r.nextInt(kinds.length)), r.nextInt(900), r.nextInt(1200),
+          r.nextInt(900) + 60, r.nextInt(1200) + 40, r.nextDouble())
+      }
+      val cleaned = graft.layout.ReadingOrder.removeOverlaps(regions)
+      val sorted = graft.layout.ReadingOrder.sortReadingOrder(cleaned, 960)
+      (id, sorted.map(_.kind).mkString(","), regions.length - cleaned.length)
+    }.toDF("doc_id", "order", "n_removed")
+  }
+
+  private def phashQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(s"$dir/documents.parquet").select(col("doc_id")).as[Long].map { id =>
+      val r = new java.util.Random(id * 7919)
+      var h = r.nextLong()
+      val frames = (1 to 60).map { i =>
+        if (r.nextInt(3) != 0) h = h ^ (r.nextLong() & 0xffffL << r.nextInt(48))
+        (i, h)
+      }
+      val kept = PhashDedup.dedupe(frames)
+      (id, frames.length, kept.length)
+    }.toDF("doc_id", "n_frames", "n_unique")
+  }
 }

@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for corpus-scale pipelines.
+  *
+  * Scale notes (100 TB): exact dedup is one hash-shuffle on a 32-byte key;
+  * MinHash-LSH shuffles (band, sig) pairs — docs ~ O(bands) rows each —
+  * then a bucket self-join that AQE handles (skewed buckets split at
+  * runtime). Shingle explosion is map-side only; signatures are computed
+  * with a single partial_agg-friendly groupBy(doc, band).min(sig).
+  */
+object Dedup {
+
+  /** Exact duplicate groups: md5 text key -> representative min(doc_id).
+    * (analog of the phash dedup at kind=exact; groupBy is partial-agg.) */
+  def exactDupGroups(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .groupBy(md5(col(textCol)).as("fp_md5"))
+      .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("representative"))
+      .where(col("n_copies") > 1)
+
+  /** Character k-shingles of the text, as an array column (map-side). */
+  def shingles(text: Column, k: Int): Column =
+    when(length(text) < k, array(text)).otherwise(
+      transform(sequence(lit(1), length(text) - (k - 1)), i => substring(text, i, lit(k))))
+
+  /** Word n-grams. */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val toks = split(trim(text), "\\s+")
+    when(size(toks) < n, array(concat_ws(" ", toks))).otherwise(
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** MinHash band signatures: one row per (doc, band), sig = min over
+    * shingles of md5(band || shingle). md5 is the hash family so DuckDB
+    * can reproduce signatures bit-for-bit for the oracle. */
+  def minhashSignatures(docs: DataFrame, bands: Int = 8, shingleK: Int = 5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), explode(shingles(col(textCol), shingleK)).as("sh"))
+      .distinct() // set semantics of shingling
+      .select(col("doc_id"), explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sh"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(min(md5(concat(col("band").cast("string"), lit(":"), col("sh")))).as("sig"))
+
+  /** LSH candidate pairs: docs sharing any band signature. Self-join on
+    * (band, sig) — the classic band-bucket join; AQE splits hot buckets. */
+  def lshCandidatePairs(signatures: DataFrame): DataFrame = {
+    val a = signatures.as("a")
+    val b = signatures.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard for candidate pairs (verification stage after
+    * LSH): |A ∩ B| / |A ∪ B| over word n-gram sets. */
+  def ngramJaccard(docs: DataFrame, pairs: DataFrame, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sets = docs.select(col(idCol).as("doc_id"),
+      array_distinct(wordNgrams(col(textCol), n)).as("ngrams"))
+    pairs
+      .join(sets.withColumnRenamed("ngrams", "ngrams_a"), pairs("doc_a") === sets("doc_id"))
+      .drop("doc_id")
+      .join(sets.withColumnRenamed("ngrams", "ngrams_b"), pairs("doc_b") === sets("doc_id"))
+      .drop("doc_id")
+      .withColumn("inter", size(array_intersect(col("ngrams_a"), col("ngrams_b"))))
+      .withColumn("uni", size(array_union(col("ngrams_a"), col("ngrams_b"))))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") / greatest(col("uni"), lit(1)), 4).as("jaccard"))
+  }
+
+  /** 64-bit SimHash over whitespace tokens: per-bit majority of token
+    * hashes. In-row loop over the token array (bounded by doc length) —
+    * a pure Scala function applied per row, no shuffle. */
+  def simhash64(tokens: Seq[String]): Long = {
+    val acc = new Array[Int](64)
+    tokens.foreach { t =>
+      // deterministic 64-bit hash (FNV-1a), independent of JVM hashCode
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < t.length) { h ^= t.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+      var b = 0
+      while (b < 64) { if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1; b += 1 }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** SimHash near-dup candidates: hamming distance <= maxDist via
+    * block-permutation buckets (4 blocks of 16 bits: dist<=3 pairs share
+    * at least one exact block — pigeonhole), then exact popcount check. */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    val sim = udf((s: String) => simhash64(Option(s).map(_.trim.split("\\s+").toSeq).getOrElse(Seq())))
+    val withSim = docs.select(col(idCol).as("doc_id"), sim(col(textCol)).as("simhash"))
+    val blocks = withSim.select(col("doc_id"), col("simhash"),
+      explode(sequence(lit(0), lit(3))).as("blk"))
+      .withColumn("key", expr("(simhash >> (blk * 16)) & 65535"))
+    val a = blocks.as("a"); val b = blocks.as("b")
+    a.join(b, col("a.blk") === col("b.blk") && col("a.key") === col("b.key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .where(col("hamming") <= maxDist)
+      .select("doc_a", "doc_b", "hamming")
+  }
+}

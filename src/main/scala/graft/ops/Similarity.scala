@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (array<float>).
+  *
+  * Baseline: brute-force cosine top-k with a BROADCAST of the (small)
+  * query set — map-side only, no shuffle except the final per-query top-k
+  * aggregation. Scale path: random-hyperplane LSH buckets so the pair
+  * space shrinks from N×Q to bucket-local joins; both return identical
+  * top-k for the verified configurations (LSH is recall<1 by design and
+  * is benchmarked, not oracle-gated).
+  */
+object Similarity {
+
+  /** Cosine similarity of two array<float/double> columns (zip_with +
+    * aggregate — codegen'd higher-order functions, computed in double). */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+    val nb = sqrt(aggregate(b, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+    dot / (na * nb)
+  }
+
+  /** Brute-force top-k: for each query vector (small set, broadcast),
+    * rank all corpus vectors by cosine. Deterministic tie-break on id. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec")))
+    val scored = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+      .crossJoin(q)
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("qvec"), col("cvec")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("sim"), 4).as("sim"))
+  }
+
+  /** Deterministic random hyperplanes (seeded, no Math.random): plane p,
+    * dim d -> pseudo-gaussian-ish weight via a hash mix. */
+  private def planeWeight(plane: Int, dim: Int, seed: Long): Double = {
+    var z = seed ^ (plane.toLong * 0x9e3779b97f4a7c15L) ^ (dim.toLong * 0xbf58476d1ce4e5b9L)
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^= (z >>> 31)
+    // map to [-1, 1)
+    (z >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
+  }
+
+  /** Sign-random-projection bucket id (nPlanes-bit signature). */
+  def srpBucket(dimCount: Int, nPlanes: Int = 12, seed: Long = 42L)(vec: Column): Column = {
+    val bits = (0 until nPlanes).map { p =>
+      val dot = aggregate(zip_with(vec,
+        array((0 until dimCount).map(d => lit(planeWeight(p, d, seed))): _*),
+        (x, w) => x.cast("double") * w), lit(0.0), (acc, v) => acc + v)
+      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** LSH-bucketed ANN: query joins only its bucket (+ optional multiprobe
+    * by flipping one bit). Approximate: recall benchmarked vs brute force. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, dimCount: Int, k: Int = 5,
+      nPlanes: Int = 12, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucket = srpBucket(dimCount, nPlanes)(col(vecCol))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"), bucket.as("bucket"))
+    // multiprobe: query probes its bucket and the nPlanes 1-bit-flip buckets
+    val probes = array((lit(0L) +: (0 until nPlanes).map(p => lit(1L << p))): _*)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"), bucket.as("qb"))
+      .withColumn("bucket", explode(transform(probes, f => col("qb").bitwiseXOR(f))))
+      .drop("qb")
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("qvec"), col("cvec")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored
+      .select(col("query_id"), col("neighbor_id"), col("sim")).distinct()
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("sim"), 4).as("sim"))
+  }
+}

@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline,
+  * expressed as pure Column expressions (whole-stage-codegen friendly, no
+  * UDFs in the hot path). Each has a DuckDB-expressible oracle in
+  * SparkEntry so the driver's correctness gate covers it.
+  */
+object TextAnalytics {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish sub-token count: words + digit runs + punctuation islands.
+    * A cheap stand-in for tokenizer-cost estimation at corpus scale. */
+  def bpeishCount(text: Column): Column =
+    size(filter(split(text, "(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])|\\s+|(?=[^a-zA-Z0-9\\s])"),
+      t => length(t) > 0))
+
+  /** Quality metrics: length, alpha ratio, space ratio, mean token len,
+    * stopword ratio (quality-scoring heuristics per SURVEY §2.2's
+    * garbage-filter family, lifted to corpus scale). */
+  val Stopwords: Seq[String] = Seq("the", "a", "an", "of", "to", "and", "in", "is", "it", "for")
+
+  def withQuality(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val len = length(t)
+    val alpha = length(regexp_replace(t, "[^a-zA-Z]", ""))
+    val spaces = length(regexp_replace(t, "[^ ]", ""))
+    val toks = split(trim(t), "\\s+")
+    val stopHits = size(filter(toks, w => lower(w).isin(Stopwords: _*)))
+    df.withColumn("n_len", len)
+      .withColumn("n_tokens", tokenCount(t))
+      .withColumn("alpha_ratio", round(alpha.cast("double") / greatest(len, lit(1)), 4))
+      .withColumn("space_ratio", round(spaces.cast("double") / greatest(len, lit(1)), 4))
+      .withColumn("stopword_ratio",
+        round(stopHits.cast("double") / greatest(size(toks), lit(1)), 4))
+      .withColumn("mean_token_len",
+        round((len - spaces).cast("double") / greatest(size(toks), lit(1)), 4))
+  }
+
+  /** Quality filter: the keep/drop decision a pretraining pipeline makes. */
+  def qualityFilter(df: DataFrame, textCol: String = "text"): DataFrame =
+    withQuality(df, textCol)
+      .where(col("n_tokens") >= 10 && col("alpha_ratio") >= 0.5 && col("stopword_ratio") >= 0.01)
+
+  /** Language-ID heuristic over char classes + stopword hits (n-gram
+    * heuristic family): deterministic, codegen'd, no external model. */
+  def langIdExpr(t: Column): Column = {
+    val len = greatest(length(t), lit(1))
+    val kana = length(regexp_replace(t, "[^\\u3040-\\u30ff]", ""))
+    val cjk = length(regexp_replace(t, "[^\\u4e00-\\u9fff]", ""))
+    val hangul = length(regexp_replace(t, "[^\\uac00-\\ud7af]", ""))
+    val cyr = length(regexp_replace(t, "[^\\u0400-\\u04ff]", ""))
+    val latin = length(regexp_replace(t, "[^a-zA-Z]", ""))
+    when(kana.cast("double") / len > 0.1, "ja")
+      .when(hangul.cast("double") / len > 0.1, "ko")
+      .when(cjk.cast("double") / len > 0.3, "zh")
+      .when(cyr.cast("double") / len > 0.3, "ru")
+      .when(latin.cast("double") / len > 0.3, "en")
+      .otherwise("unknown")
+  }
+
+  /** Document fingerprints: md5 (exact-dup key) + a 64-bit content hash.
+    * xxhash64 is Spark-native; the md5 column is the cross-engine
+    * (DuckDB-verifiable) fingerprint. */
+  def withFingerprints(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("fp_md5", md5(col(textCol)))
+      .withColumn("fp_xx64", xxhash64(col(textCol)))
+}
