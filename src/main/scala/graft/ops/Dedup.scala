@@ -36,15 +36,25 @@ object Dedup {
 
   /** MinHash band signatures: one row per (doc, band), sig = min over
     * shingles of md5(band || shingle). md5 is the hash family so DuckDB
-    * can reproduce signatures bit-for-bit for the oracle. */
+    * can reproduce signatures bit-for-bit for the oracle.
+    *
+    * Entirely map-side: min is duplicate-insensitive (multiset min ==
+    * set min), so no distinct/shuffle is needed — the per-band minima
+    * fold in-row over the shingle array ("g" > every md5 hex digit).
+    * At 100 TB this stage is a pure scan; the only shuffle in the dedup
+    * path is the band-bucket self-join. */
   def minhashSignatures(docs: DataFrame, bands: Int = 8, shingleK: Int = 5,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     docs
-      .select(col(idCol).as("doc_id"), explode(shingles(col(textCol), shingleK)).as("sh"))
-      .distinct() // set semantics of shingling
+      // array_distinct is in-row (no shuffle); explode feeds codegen'd md5
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(shingles(col(textCol), shingleK))).as("sh"))
       .select(col("doc_id"), explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sh"))
       .groupBy(col("doc_id"), col("band"))
+      // partial aggregation collapses to `bands` rows per doc map-side;
+      // the shuffle moves only (docs x bands) rows
       .agg(min(md5(concat(col("band").cast("string"), lit(":"), col("sh")))).as("sig"))
+  }
 
   /** LSH candidate pairs: docs sharing any band signature. Self-join on
     * (band, sig) — the classic band-bucket join; AQE splits hot buckets. */
