@@ -1,0 +1,166 @@
+package graft.group
+
+import java.util.regex.Pattern
+import graft.model.TocEntry
+
+/** Section-number parsing, page->section assignment (forward fill),
+  * TOC-key zero-pad lookup, and duplicate-heading detection.
+  * Faithful ports of src/book_converter/page_grouper/{models,section,
+  * assignment,hierarchy}.py and transformer_utils.py:13-77.
+  */
+object Sections {
+
+  /** SectionNumber (page_grouper/models.py:22-59): trailing zeros encode
+    * the level convention 1.0.0=chapter, 1.1.0=section. */
+  final case class SectionNumber(raw: String, parts: Vector[Int], level: Int) {
+    def chapterNum: Int = parts.head
+    def effectiveParts: Vector[Int] = {
+      var p = parts
+      while (p.length > 1 && p.last == 0) p = p.init
+      p
+    }
+    def isChapter: Boolean = effectiveParts.length == 1
+    def isSection: Boolean = effectiveParts.length == 2
+    def isSubsection: Boolean = effectiveParts.length >= 3
+  }
+
+  private val U = Pattern.UNICODE_CHARACTER_CLASS
+  private val sectionNumP = Pattern.compile("^[0-9]+(?:\\.[0-9]+)*$")
+
+  /** parse_section_number (section.py:13-39). */
+  def parseSectionNumber(s: String): Option[SectionNumber] = {
+    if (s == null || s.isEmpty || !sectionNumP.matcher(s).matches()) return None
+    val parts = s.split("\\.").map(_.toInt).toVector
+    val level = math.min(parts.length, 3)
+    Some(SectionNumber(s, parts, level))
+  }
+
+  private val wsRun = Pattern.compile("\\s+", U)
+
+  /** normalize_for_matching (section.py:42-65). */
+  def normalizeForMatching(text: String): String =
+    graft.text.Py.strip(wsRun.matcher(text).replaceAll(" "))
+
+  private val directSectionP = Pattern.compile("^([0-9]+(?:\\.[0-9]+)+)\\s+", U)
+  private val chapterNumP = Pattern.compile("^([0-9]+)\\s+(?![/0-9])", U)
+  private val jpChapterP = Pattern.compile("^第([0-9]+)章")
+  private val keywordNumP =
+    Pattern.compile("^(?:Section|Chapter|Episode|Part)\\s+([0-9]+(?:\\.[0-9]+)*)",
+      Pattern.CASE_INSENSITIVE | U)
+  private val newChapterP = Pattern.compile("^Chapter\\s+([0-9]+)", Pattern.CASE_INSENSITIVE | U)
+  private val newSectionP = Pattern.compile("^Section\\s+([0-9]+\\.[0-9]+)", Pattern.CASE_INSENSITIVE | U)
+  private val newSubsectionP =
+    Pattern.compile("^Subsection\\s+([0-9]+\\.[0-9]+\\.[0-9]+)", Pattern.CASE_INSENSITIVE | U)
+
+  /** extract_section_from_heading fallback chain (section.py:150-196). */
+  def extractSectionFromText(textIn: String): Option[String] = {
+    if (textIn == null || textIn.isEmpty) return None
+    val text = normalizeForMatching(textIn)
+    val m1 = directSectionP.matcher(text)
+    if (m1.lookingAt()) return Some(m1.group(1))
+    val m2 = chapterNumP.matcher(text)
+    if (m2.lookingAt()) return Some(m2.group(1))
+    val m3 = jpChapterP.matcher(text)
+    if (m3.lookingAt()) return Some(m3.group(1))
+    val m4 = keywordNumP.matcher(text)
+    if (m4.lookingAt()) return Some(m4.group(1))
+    None
+  }
+
+  /** _extract_section_from_page new-format chain (assignment.py:177-230):
+    * Chapter N / Section N.N / Subsection N.N.N first, then fallback. */
+  def extractSectionFromHeading(headingText: String): Option[String] = {
+    if (headingText == null) return None
+    val t = graft.text.Py.strip(headingText)
+    val mc = newChapterP.matcher(t)
+    if (mc.lookingAt()) return Some(mc.group(1))
+    val ms = newSectionP.matcher(t)
+    if (ms.lookingAt()) return Some(ms.group(1))
+    val mss = newSubsectionP.matcher(t)
+    if (mss.lookingAt()) return Some(mss.group(1))
+    extractSectionFromText(t)
+  }
+
+  /** _find_toc_key (hierarchy.py:22-44): zero-pad fallback
+    * "1" -> "1.0" -> "1.0.0". */
+  def findTocKey(number: String, tocKeys: Set[String]): Option[String] = {
+    if (tocKeys.contains(number)) return Some(number)
+    var padded = number
+    var i = 0
+    while (i < 3) {
+      padded = s"$padded.0"
+      if (tocKeys.contains(padded)) return Some(padded)
+      i += 1
+    }
+    None
+  }
+
+  /** _find_first_chapter (hierarchy.py:47-67): numerically smallest
+    * chapter key. */
+  def findFirstChapter(tocKeys: Iterable[String]): Option[String] = {
+    val chapters = tocKeys.flatMap { num =>
+      parseSectionNumber(num).filter(_.isChapter).map(sn => (sn.chapterNum, num))
+    }
+    if (chapters.isEmpty) None else Some(chapters.minBy(_._1)._2)
+  }
+
+  /** _assign_pages_to_sections (assignment.py:138-174): forward-fill the
+    * current section across pages; first pages default to the first
+    * chapter. Input: per page, the extracted section number (if any).
+    * Output: per page, the assigned section key (or None). */
+  def assignPagesToSections(
+      pageSections: Seq[Option[String]],
+      tocKeys: Set[String]
+  ): Vector[Option[String]] = {
+    var current: Option[String] = None
+    pageSections.map { sec =>
+      sec match {
+        case Some(s) if tocKeys.contains(s) => current = Some(s)
+        case _ if current.isEmpty           => current = findFirstChapter(tocKeys)
+        case _                              =>
+      }
+      current
+    }.toVector
+  }
+
+  /** _section_sort_key (hierarchy.py:220-229): numeric tuple sort. */
+  def sectionSortKey(sectionNum: String): Vector[Int] =
+    parseSectionNumber(sectionNum).map(_.parts).getOrElse(Vector(Int.MaxValue))
+
+  // ---- duplicate-heading detection (transformer_utils.py:13-77) ----------
+
+  private val chapterPrefixP = Pattern.compile("^[Cc][Hh][Aa][Pp][Tt][Ee][Rr]\\s+([0-9]+)\\s*", U)
+  private val sectionPrefixP = Pattern.compile("^[Ss][Ee][Cc][Tt][Ii][Oo][Nn]\\s+([0-9]+\\.[0-9]+)\\s*", U)
+
+  /** normalize_heading_for_comparison. */
+  def normalizeHeadingForComparison(headingText: String): String = {
+    var text = chapterPrefixP.matcher(headingText).replaceFirst("$1 ")
+    text = sectionPrefixP.matcher(text).replaceFirst("$1 ")
+    graft.text.Py.strip(wsRun.matcher(text).replaceAll(" "))
+  }
+
+  /** is_duplicate_heading: heading == "{number} {title}" of its container. */
+  def isDuplicateHeading(headingText: String, containerNumber: Option[String],
+      containerTitle: String): Boolean = {
+    val normalized = normalizeHeadingForComparison(headingText)
+    val expected = containerNumber match {
+      case Some(n) if n.nonEmpty => s"$n $containerTitle"
+      case _                     => containerTitle
+    }
+    normalized == expected
+  }
+
+  /** _heading_level_from_number (normalization_rules.py:16-28):
+    * N.0.0 -> 1, trailing-zero -> 2, else 3; empty -> 2. */
+  def headingLevelFromNumber(number: String): Int = {
+    if (number == null || number.isEmpty) return 2
+    val parts = number.split("\\.")
+    if (parts.length == 3 && parts(1) == "0" && parts(2) == "0") 1
+    else if (parts.length >= 2 && parts.last == "0") 2
+    else 3
+  }
+
+  /** TOC lookup map builder (assignment.py:54). */
+  def tocLookup(entries: Seq[TocEntry]): Map[String, TocEntry] =
+    entries.filter(_.number.nonEmpty).map(e => e.number -> e).toMap
+}

@@ -1,0 +1,95 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.matching.TocMatcher
+import graft.matching.TocMatcher.BodyHeading
+import graft.model.TocEntry
+import graft.group.Sections
+
+/** TOC<->heading matcher parity vs reference-generated goldens
+  * (25 random books: 57 exact / 30 fuzzy / 14 missing), plus
+  * section-assignment unit semantics. */
+class MatcherSpec extends AnyFunSuite {
+
+  test("match_toc_to_body matches reference goldens") {
+    case class Case(toc: Vector[TocEntry], headings: Vector[BodyHeading])
+    val cases = scala.collection.mutable.Map.empty[Int, (Vector[TocEntry], Vector[BodyHeading])]
+    Fixtures.resourceLines("/fixtures/matcher.cases.tsv").foreach { line =>
+      val f = line.split("\t", -1)
+      val id = f(0).toInt
+      val (toc, hs) = cases.getOrElse(id, (Vector.empty, Vector.empty))
+      if (f(1) == "T")
+        cases(id) = (toc :+ TocEntry(Fixtures.unesc(f(2)), f(3).toInt, f(4), f(5)), hs)
+      else
+        cases(id) = (toc, hs :+ BodyHeading(Fixtures.unesc(f(2)), f(3).toInt, f(6).toInt))
+    }
+    val expected = Fixtures.resourceLines("/fixtures/matcher.expected.tsv")
+      .map(_.split("\t", -1))
+      .groupBy(_(0).toInt)
+    expected.toSeq.sortBy(_._1).foreach { case (caseId, rows) =>
+      val (toc, headings) = cases(caseId)
+      val results = TocMatcher.matchTocToBody(toc, headings)
+      assert(results.size == rows.size, s"case $caseId result count")
+      rows.sortBy(_(1).toInt).zip(results).foreach { case (exp, got) =>
+        val expType = exp(2)
+        val gotType = got.matchType match {
+          case TocMatcher.Exact => "exact"; case TocMatcher.Fuzzy => "fuzzy"
+          case TocMatcher.Missing => "missing"
+        }
+        assert(gotType == expType, s"case $caseId toc#${exp(1)} type")
+        assert(got.bodyHeading.map(_.text).getOrElse("") == Fixtures.unesc(exp(3)),
+          s"case $caseId toc#${exp(1)} heading")
+        assert(math.abs(got.similarity - exp(4).toDouble) < 1e-9, s"case $caseId toc#${exp(1)} sim")
+        assert(got.lineNumber == exp(5).toInt, s"case $caseId toc#${exp(1)} line")
+      }
+    }
+  }
+
+  test("section number parsing: trailing zeros (page_grouper/models.py:36-59)") {
+    val sn = Sections.parseSectionNumber("1.0.0").get
+    assert(sn.isChapter && sn.effectiveParts == Vector(1))
+    assert(Sections.parseSectionNumber("1.1.0").get.isSection)
+    assert(Sections.parseSectionNumber("2.1.3").get.isSubsection)
+    assert(Sections.parseSectionNumber("abc").isEmpty)
+    assert(Sections.parseSectionNumber("").isEmpty)
+  }
+
+  test("toc key zero-pad fallback (hierarchy.py:22-44)") {
+    val keys = Set("1.0", "2.0.0", "3.1")
+    assert(Sections.findTocKey("1", keys).contains("1.0"))
+    assert(Sections.findTocKey("2", keys).contains("2.0.0"))
+    assert(Sections.findTocKey("3.1", keys).contains("3.1"))
+    assert(Sections.findTocKey("4", keys).isEmpty)
+  }
+
+  test("section extraction from heading/metadata (section.py:106-196)") {
+    assert(Sections.extractSectionFromHeading("Chapter 2 Title").contains("2"))
+    assert(Sections.extractSectionFromHeading("Section 1.1 概要").contains("1.1"))
+    assert(Sections.extractSectionFromHeading("Subsection 1.1.2 詳細").contains("1.1.2"))
+    assert(Sections.extractSectionFromText("1.1 タイトル").contains("1.1"))
+    assert(Sections.extractSectionFromText("第3章 まとめ").contains("3"))
+    assert(Sections.extractSectionFromText("1 / 3").isEmpty) // page-number format guarded
+    assert(Sections.extractSectionFromText("本文テキスト").isEmpty)
+  }
+
+  test("page->section forward fill (assignment.py:138-174)") {
+    val keys = Set("1", "1.1", "2")
+    val assigned = Sections.assignPagesToSections(
+      Vector(None, Some("1"), None, Some("1.1"), Some("9.9"), Some("2"), None), keys)
+    assert(assigned == Vector(Some("1"), Some("1"), Some("1"), Some("1.1"), Some("1.1"),
+      Some("2"), Some("2")))
+  }
+
+  test("duplicate heading detection (transformer_utils.py:46-77)") {
+    assert(Sections.isDuplicateHeading("Chapter 1 「企画」で失敗", Some("1"), "「企画」で失敗"))
+    assert(!Sections.isDuplicateHeading("すべての要求に応えてしまう", Some("1.1"), "なんでもできる"))
+    assert(Sections.isDuplicateHeading("Section 2.1 監視", Some("2.1"), "監視"))
+  }
+
+  test("heading level from number (normalization_rules.py:16-28)") {
+    assert(Sections.headingLevelFromNumber("1.0.0") == 1)
+    assert(Sections.headingLevelFromNumber("1.1.0") == 2)
+    assert(Sections.headingLevelFromNumber("1.1.1") == 3)
+    assert(Sections.headingLevelFromNumber("") == 2)
+  }
+}
