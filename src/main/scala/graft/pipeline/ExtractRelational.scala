@@ -1,0 +1,169 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model._
+import graft.analyze.Headings
+import graft.parse.PageParser
+
+/** Relational variant of the boilerplate (running-head) aggregation — the
+  * north star's explicit shape: explode headings, groupBy(doc, normalized
+  * line) + count under AQE-managed shuffle, resolve the per-doc running
+  * head, and broadcast/join the filter set back before span emission.
+  *
+  * The fused [[Extract]] keeps everything in-row (no shuffle) and is the
+  * fast path for bounded docs; this variant is the scale-out path when
+  * per-doc state must not live in one row (e.g. docs with millions of
+  * spans), and doubles as an equivalence oracle: both paths must emit
+  * IDENTICAL span sequences (tested).
+  *
+  * Plan shape at 100 TB: Stage A narrow parse -> Stage B shuffle
+  * (partial-agg'd heading counts, AQE skew-split) -> Stage C broadcast of
+  * the tiny running-head set -> Stage D narrow emission. One shuffle of
+  * (doc, heading) pairs — heading rows are ~1% of span rows.
+  */
+object ExtractRelational {
+
+  // Encoder-friendly flattened page model (no ADTs).
+  final case class FlatElement(kind: String, text: String, level: Int, readAloud: Boolean,
+      items: Seq[String], listType: String)
+  final case class FlatPage(number: String, sourceFile: String, elements: Seq[FlatElement],
+      figPaths: Seq[String], figCaptions: Seq[String],
+      metaText: String, metaType: String, hasMeta: Boolean)
+  final case class ParsedDoc(doc_id: String, pages: Seq[FlatPage], errors: Seq[ConvError],
+      tocText: Seq[String], tocLevel: Seq[Int], tocNumber: Seq[String], tocPage: Seq[String])
+  final case class HeadingRow(doc_id: String, norm_text: String, level: Int)
+  final case class RunningHead(doc_id: String, norm_text: String)
+
+  private def flatten(e: Element): FlatElement = e match {
+    case Heading(l, t, ra)   => FlatElement("heading", t, l, ra, Nil, "")
+    case Paragraph(t, ra)    => FlatElement("paragraph", t, 0, ra, Nil, "")
+    case ListEl(items, lt, ra) => FlatElement("list", "", 0, ra, items, lt)
+  }
+
+  /** Stage A: per-doc parse (narrow, one pass). */
+  def parse(docs: Dataset[InputDoc]): Dataset[ParsedDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.mapPartitions(_.map { doc =>
+      val lines = doc.spans.sortBy(_.offset).map(_.text).toIndexedSeq
+      val out = PageParser.parseDocument(lines)
+      ParsedDoc(
+        doc.doc_id,
+        out.pages.map(p => FlatPage(p.number, p.sourceFile, p.elements.map(flatten),
+          p.figures.map(_.path), p.figures.map(_.caption),
+          p.metadata.map(_.text).getOrElse(""), p.metadata.map(_.metaType).getOrElse(""),
+          p.metadata.isDefined)),
+        out.errors,
+        out.tocEntries.map(_.text), out.tocEntries.map(_.level),
+        out.tocEntries.map(_.number), out.tocEntries.map(_.page)
+      )
+    })
+  }
+
+  /** Stage B+C: the wide running-head aggregation. Returns (doc_id,
+    * norm_text) rows for detected running heads.
+    *
+    * Faithful to analyzer.py:41-151: per (doc, normalized text) count +
+    * most-frequent level (ties -> smaller); candidate = level-1 rows; the
+    * doc's most frequent candidate (first-seen tie-break via min heading
+    * index) is flagged iff count >= max(pages * threshold, 2). */
+  def runningHeads(parsed: Dataset[ParsedDoc], thresholdRatio: Double = 0.5): DataFrame = {
+    val spark = parsed.sparkSession
+    import spark.implicits._
+
+    val headings = parsed.flatMap { d =>
+      d.pages.flatMap(_.elements).collect { case e if e.kind == "heading" => e }
+        .zipWithIndex.map { case (e, i) =>
+          (d.doc_id, graft.text.Normalize.dashes(e.text), e.level, i.toLong, d.pages.length)
+        }
+    }.toDF("doc_id", "norm_text", "level", "seq", "n_pages")
+
+    // per (doc, text, level) counts -> per (doc, text): count, mode level
+    val byLevel = headings
+      .groupBy($"doc_id", $"norm_text", $"level")
+      .agg(count(lit(1)).as("lvl_n"), min($"seq").as("lvl_first"), first($"n_pages").as("n_pages"))
+    // Python's max over insertion-ordered level_counts: (count desc,
+    // level asc); insertion order only breaks exact (count, level) ties,
+    // which cannot happen (level is the key) -> deterministic here.
+    val analyses = byLevel
+      .groupBy($"doc_id", $"norm_text")
+      .agg(
+        sum($"lvl_n").as("n"),
+        min($"lvl_first").as("first_seq"),
+        first($"n_pages").as("n_pages"),
+        min_by($"level", struct(-$"lvl_n", $"level")).as("mode_level"))
+
+    // analyzer.py picks the FIRST max over insertion-ordered analyses ->
+    // tie-break by first occurrence (first_seq asc) after count desc.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"n".desc, $"first_seq".asc)
+    analyses
+      .where($"mode_level" === 1)
+      .withColumn("rnk", row_number().over(w))
+      .where($"rnk" === 1 && $"n" >= greatest($"n_pages" * thresholdRatio, lit(2.0)))
+      .select($"doc_id", $"norm_text")
+  }
+
+  /** Stage D: emit spans, applying running-head + exclusion read-aloud
+    * rules with the joined (broadcast) filter set. */
+  def emit(parsed: Dataset[ParsedDoc], runningHeadSet: DataFrame): Dataset[OutSpan] = {
+    val spark = parsed.sparkSession
+    import spark.implicits._
+    val rhSets = runningHeadSet
+      .groupBy($"doc_id").agg(collect_set($"norm_text").as("rh"))
+    val joined = parsed
+      .joinWith(broadcast(rhSets), parsed("doc_id") === rhSets("doc_id"), "left_outer")
+    joined.mapPartitions(_.flatMap { case (d, rhRow) =>
+      val rh: Set[String] =
+        if (rhRow == null) Set.empty
+        else rhRow.getAs[scala.collection.Seq[String]]("rh").toSet
+      emitDoc(d, rh)
+    })
+  }
+
+  private[pipeline] def emitDoc(d: ParsedDoc, runningHeads: Set[String]): Vector[OutSpan] = {
+    val spans = Vector.newBuilder[OutSpan]
+    var offset = 0
+    def emit(kind: String, text: String, mediaRef: String, pageNo: String, level: Int,
+        readAloud: Boolean, attrs: String): Unit = {
+      spans += OutSpan(d.doc_id, offset, kind, text, mediaRef, pageNo, level, readAloud, attrs)
+      offset += 1
+    }
+    d.tocText.indices.foreach { i =>
+      emit("toc", d.tocText(i), "", d.tocPage(i), d.tocLevel(i), readAloud = true,
+        attrs = if (d.tocNumber(i).nonEmpty) s"number=${d.tocNumber(i)}" else "")
+    }
+    d.pages.foreach { page =>
+      emit("page", page.number, "", page.number, 0, readAloud = false,
+        attrs = s"sourceFile=${page.sourceFile}")
+      page.elements.foreach { e =>
+        e.kind match {
+          case "heading" =>
+            val excluded = runningHeads.contains(graft.text.Normalize.dashes(e.text)) ||
+              Headings.matchExclusionPattern(e.text).isDefined
+            emit("heading", e.text, "", page.number, e.level,
+              if (excluded) false else e.readAloud, "")
+          case "paragraph" =>
+            emit("paragraph", e.text, "", page.number, 0, e.readAloud, "")
+          case "list" =>
+            emit("list", e.items.mkString("\n"), "", page.number, 0, e.readAloud,
+              attrs = s"listType=${e.listType}")
+        }
+      }
+      page.figPaths.indices.foreach { i =>
+        emit("figure", page.figCaptions(i), page.figPaths(i), page.number, 0, readAloud = false, "")
+      }
+      if (page.hasMeta)
+        emit("pagemeta", page.metaText, "", page.number, 0, readAloud = false,
+          attrs = s"metaType=${page.metaType}")
+    }
+    spans.result()
+  }
+
+  /** Full relational pipeline. */
+  def spans(docs: Dataset[InputDoc], thresholdRatio: Double = 0.5): Dataset[OutSpan] = {
+    val parsed = parse(docs)
+    emit(parsed, runningHeads(parsed, thresholdRatio))
+  }
+}

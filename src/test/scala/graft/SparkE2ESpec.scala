@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.io.SyntheticCorpus
+import graft.pipeline.{Checkpoint, Extract, ExtractRelational}
+
+/** Distributed end-to-end invariants on the synthetic corpus:
+  * fused vs relational path equivalence, parallelism-independence,
+  * checkpoint kill/rerun idempotence, media preservation, offset density.
+  */
+class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-e2e")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def corpus(n: Long, parts: Int = 4) = SyntheticCorpus.docs(spark, n, partitions = parts)
+
+  test("fused and relational extraction emit identical span sequences") {
+    val docs = corpus(40)
+    val fused = Extract.spans(docs).toDF()
+    val relational = ExtractRelational.spans(docs).toDF()
+    assert(fused.count() == relational.count())
+    assert(fused.except(relational).isEmpty && relational.except(fused).isEmpty)
+  }
+
+  test("extraction is parallelism-independent (4 vs 1 partitions)") {
+    val a = Extract.spans(corpus(30, parts = 4)).toDF()
+    val b = Extract.spans(corpus(30, parts = 1)).toDF()
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+  }
+
+  test("offsets dense 0..n-1 per doc; figures preserved in order") {
+    val ss = spark; import ss.implicits._
+    val docs = corpus(30)
+    val spans = Extract.spans(docs).cache()
+    val bad = spans.groupByKey(_.doc_id).mapGroups { (_, it) =>
+      val offs = it.map(_.offset).toVector.sorted
+      if (offs == offs.indices.toVector) 0 else 1
+    }.filter(_ == 1).count()
+    assert(bad == 0)
+    // every input media_ref appears exactly once in output figure spans
+    val inRefs = docs.flatMap(d => d.spans.filter(_.media_ref.nonEmpty)
+      .map(s => (d.doc_id, s.media_ref))).toDF("doc_id", "media_ref")
+    val outRefs = spans.filter(_.kind == "figure").map(s => (s.doc_id, s.media_ref))
+      .toDF("doc_id", "media_ref")
+    assert(inRefs.count() == outRefs.count())
+    assert(inRefs.except(outRefs).isEmpty && outRefs.except(inRefs).isEmpty)
+    spans.unpersist()
+  }
+
+  test("checkpoint: kill after bucket k, rerun -> identical output, no dupes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val docs = corpus(30)
+    // crash injected before committing bucket 5
+    intercept[RuntimeException] {
+      Checkpoint.run(docs, dir, nBuckets = 8, failAtBucket = 5)
+    }
+    val committedBefore = Checkpoint.committedBuckets(spark, dir)
+    assert(committedBefore.nonEmpty && !committedBefore.contains(5))
+    // resume: completes remaining buckets only
+    val resumed = Checkpoint.run(docs, dir, nBuckets = 8)
+    assert(resumed.map(_.bucket).toSet.contains(5))
+    assert(Checkpoint.committedBuckets(spark, dir) == (0 until 8).toSet)
+    // final output equals a single-shot run (no duplicates / missing)
+    val out = spark.read.parquet((0 until 8).map(b => s"$dir/bucket=$b"): _*)
+    val oneShot = Extract.spans(docs).toDF()
+    assert(out.count() == oneShot.count())
+    assert(out.except(oneShot).isEmpty && oneShot.except(out).isEmpty)
+    // manifests carry consistent lineage metrics
+    val manifests = Checkpoint.readManifests(spark, dir)
+    assert(manifests.map(_.spanCount).sum == oneShot.count())
+    assert(manifests.map(_.nDocs).sum == 30)
+  }
+
+  test("media plumbing: stub decode yields typed metadata for every figure") {
+    val ss = spark; import ss.implicits._
+    val docs = corpus(20)
+    val media = graft.multimodal.Media.syntheticMedia(spark, docs)
+    val meta = graft.multimodal.Media.extractMeta(media).cache()
+    assert(meta.filter(!_.ok).count() == 0)
+    assert(meta.filter(m => m.width < 64 || m.height < 64).count() == 0)
+    val frames = graft.multimodal.Media.frameSamplePlan(meta.toDF())
+    val videos = meta.filter(_.media_kind == "video").count()
+    if (videos > 0) assert(frames.count() >= videos)
+    meta.unpersist()
+  }
+}
