@@ -103,6 +103,29 @@ object Rover {
     }
   }
 
+  /** _cluster_words_to_lines (engines/runners.py:89-192): same running-mean
+    * clustering with tolerance 15, emitting one merged TextWithBox per line
+    * (x-sorted concat, union bbox, avg confidence). */
+  def clusterWordsToLines(words: Seq[TextWithBox], yTolerance: Int = 15): Vector[TextWithBox] = {
+    if (words.isEmpty) return Vector.empty
+    val sorted = words.sortBy(_.yCenter)
+    val lines = Vector.newBuilder[Vector[TextWithBox]]
+    var current = Vector(sorted.head)
+    sorted.tail.foreach { w =>
+      val currentY = current.iterator.map(_.yCenter).sum / current.length
+      if (math.abs(w.yCenter - currentY) <= yTolerance) current :+= w
+      else { lines += current; current = Vector(w) }
+    }
+    lines += current
+    lines.result().map { lw =>
+      val xs = lw.sortBy(_.x1)
+      TextWithBox(xs.iterator.map(_.text).mkString,
+        xs.iterator.map(_.x1).min, xs.iterator.map(_.y1).min,
+        xs.iterator.map(_.x2).max, xs.iterator.map(_.y2).max,
+        xs.iterator.map(_.confidence).sum / xs.length)
+    }
+  }
+
   /** align_lines_by_y (line_processing.py:217-279), including the cluster
     * advance quirk `i = j if j > i + 1 else i + 1`. */
   def alignLinesByY(

@@ -1,0 +1,108 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model.{Region, TextWithBox}
+import graft.vote.{Ensemble, Rover}
+
+/** Legacy whole-page ensemble + quality/coverage/containment operators,
+  * verified against reference-generated goldens + unit semantics. */
+class EnsembleSpec extends AnyFunSuite {
+
+  test("merge_by_voting matches reference goldens (20 pages)") {
+    Fixtures.resourceLines("/fixtures/ensemble.golden.tsv").foreach { line =>
+      val f = line.split("\t", -1)
+      val results = Fixtures.unesc(f(1)).split("\u0001").toVector.map { kv =>
+        val i = kv.indexOf('=')
+        (kv.substring(0, i), kv.substring(i + 1))
+      }
+      val valid = results.filter(_._2.nonEmpty)
+      val (merged, source, _) =
+        if (valid.isEmpty) ("", "none", Map.empty[String, Int])
+        else Ensemble.voteBestResult(valid)
+      assert(merged == Fixtures.unesc(f(2)), s"case ${f(0)} merged")
+      assert(source == f(3), s"case ${f(0)} source")
+    }
+  }
+
+  test("page-level is_garbage matches reference goldens") {
+    Fixtures.resourceLines("/fixtures/garbage_page.golden.tsv").foreach { line =>
+      val f = line.split("\t", -1)
+      assert(Ensemble.isGarbagePage(Fixtures.unesc(f(0))) == (f(1) == "true"),
+        s"is_garbage(${f(0)})")
+    }
+  }
+
+  test("low-quality check + non-char ratio (layout_ocr_utils.py:32-66)") {
+    assert(Ensemble.isLowQuality(""))
+    assert(Ensemble.isLowQuality("短い")) // < 10 chars
+    assert(Ensemble.isLowQuality("!@#$%^&*()!@#$%")) // non-char ratio > 0.5
+    assert(!Ensemble.isLowQuality("これは十分に長い日本語のテキストです"))
+  }
+
+  test("fallback chain: first quality text wins, terminal needs non-empty") {
+    assert(Ensemble.ocrWithFallback(Vector(
+      "yomitoku" -> "これは十分に長い日本語のテキストです",
+      "paddleocr" -> "別のテキスト", "tesseract" -> "x")) ==
+      (("これは十分に長い日本語のテキストです", "yomitoku")))
+    assert(Ensemble.ocrWithFallback(Vector(
+      "yomitoku" -> "短い", "paddleocr" -> "これも十分に長い日本語のテキストです",
+      "tesseract" -> "x")) ==
+      (("これも十分に長い日本語のテキストです", "paddleocr")))
+    assert(Ensemble.ocrWithFallback(Vector(
+      "yomitoku" -> "短い", "paddleocr" -> "", "tesseract" -> "x")) == (("x", "tesseract")))
+    assert(Ensemble.ocrWithFallback(Vector("yomitoku" -> "", "tesseract" -> "")) ==
+      (("", "none")))
+  }
+
+  test("coverage + should_fallback (layout_ocr_utils.py:83-136)") {
+    val full = Seq(Region("TEXT", 0, 0, 100, 100, 0.9))
+    assert(Ensemble.coverage(full, 100, 100) == 1.0)
+    assert(!Ensemble.shouldFallback(full, 100, 100))
+    assert(Ensemble.shouldFallback(Seq(Region("TEXT", 0, 0, 10, 10, 0.9)), 100, 100)) // 1% < 30%
+    assert(Ensemble.shouldFallback(Seq(Region("FIGURE", 0, 0, 100, 100, 0.9)), 100, 100))
+    assert(Ensemble.shouldFallback(Nil, 100, 100))
+  }
+
+  test("figure containment filter (engines/core.py:144-196)") {
+    val items = Seq(
+      TextWithBox("inside", 10, 10, 20, 20, 0.9),
+      TextWithBox("outside", 200, 200, 220, 220, 0.9))
+    val figures = Seq((0, 0, 100, 100))
+    assert(Ensemble.filterItemsByFigures(items, figures).map(_.text) == Seq("outside"))
+    assert(Ensemble.filterItemsByFigures(items, Nil).size == 2)
+  }
+
+  test("greedy overlap filter: conf desc, union-IoU > 0.5 dropped") {
+    val rs = Seq(
+      Region("TEXT", 0, 0, 100, 100, 0.5),
+      Region("TEXT", 0, 0, 100, 100, 0.95), // same box, higher conf kept
+      Region("TEXT", 500, 500, 600, 600, 0.3)) // below min_confidence 0.4
+    val kept = Ensemble.filterOverlappingRegions(rs)
+    assert(kept.map(_.confidence) == Vector(0.95))
+  }
+
+  test("bbox containment threshold 0.7 (voting.py:77-100)") {
+    val outer = Region("TEXT", 0, 0, 100, 100, 1.0)
+    assert(Ensemble.bboxContains(outer, Region("TEXT", 10, 10, 90, 90, 1.0)))
+    assert(!Ensemble.bboxContains(outer, Region("TEXT", 50, 50, 200, 200, 1.0))) // ~17% inside
+  }
+
+  test("confidence/area filter (layout/figures.py:136-166)") {
+    val rs = Seq(
+      Region("FIGURE", 0, 0, 200, 200, 0.9), // 4% of page, kept
+      Region("FIGURE", 0, 0, 50, 50, 0.9), // 0.25% < 1%, dropped
+      Region("FIGURE", 0, 0, 500, 500, 0.1)) // conf < 0.3, dropped
+    assert(Ensemble.confidenceAreaFilter(rs, 1000, 1000).size == 1)
+  }
+
+  test("word->line clustering variant (runners.py:89-192)") {
+    val words = Seq(
+      TextWithBox("界", 50, 98, 60, 118, 0.8),
+      TextWithBox("世", 10, 100, 20, 120, 0.9),
+      TextWithBox("次行", 10, 200, 30, 220, 0.7))
+    val lines = Rover.clusterWordsToLines(words)
+    assert(lines.map(_.text) == Vector("世界", "次行"))
+    assert(lines.head.x1 == 10 && lines.head.x2 == 60)
+    assert(math.abs(lines.head.confidence - 0.85) < 1e-9)
+  }
+}
