@@ -32,6 +32,8 @@ object SparkEntry {
       val d = Extract.run(SyntheticCorpus.docsForSfDir(s, dir)).toDF()
       d.select(col("doc_id"), col("n_pages"), col("span_count"), col("char_count"))
     }),
+    "x_extract_relational" -> ((s, dir) =>
+      graft.pipeline.ExtractRelational.spans(SyntheticCorpus.docsForSfDir(s, dir)).toDF()),
     "x_rover_vote" -> ((s, dir) => roverQuery(s, dir)),
     "x_reading_order" -> ((s, dir) => readingOrderQuery(s, dir)),
     "x_phash_dedup" -> ((s, dir) => phashQuery(s, dir)),

@@ -172,6 +172,15 @@ object Markers {
     } else None
   }
 
+  private val figurePlaceholderP =
+    Pattern.compile("\\[(図|写真|表|イラスト|グラフ|チャート)([^\\]]*)\\]")
+
+  /** parse_figure_placeholder (figure.py:75-103): [図N] [写真N] ... markers. */
+  def parseFigurePlaceholder(line: String): Option[String] = {
+    val m = figurePlaceholderP.matcher(line)
+    if (m.find()) Some(m.group(1) + m.group(2)) else None
+  }
+
   /** parse_figure (figure.py:106-167): path from comment line, caption from
     * first bold text; remaining description lines are dropped (the
     * reference's "new format" keeps path+caption only). */

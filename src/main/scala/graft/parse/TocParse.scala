@@ -121,6 +121,34 @@ object TocParse {
     if (line.nonEmpty) Some(TocEntry(line, 1, "", pageNumber)) else None
   }
 
+  private val wsRunP = Pattern.compile("\\s+", U)
+
+  /** normalize_toc_text (toc.py:211-240): per-line normalize, space-join,
+    * whitespace-collapse. */
+  def normalizeTocText(lines: Seq[String]): String =
+    Py.strip(wsRunP.matcher(lines.map(normalizeTocLine).mkString(" ")).replaceAll(" "))
+
+  // split_toc_entries (toc.py:243-296): lookahead split on entry starts.
+  private val splitP = Pattern.compile(
+    "(?=" +
+      "(?:Chapter|CHAPTER|chapter)\\s+[0-9]+|" +
+      "(?:Section|SECTION|section)\\s+[0-9]+\\.[0-9]+|" +
+      "(?:Subsection|SUBSECTION|subsection)\\s+[0-9]+\\.[0-9]+\\.[0-9]+|" +
+      "(?:Episode|EPISODE|episode)\\s+[0-9]+|" +
+      "(?:Column|COLUMN|column)\\s+|" +
+      "第[0-9]+章|" +
+      "[0-9]+\\.[0-9]+\\.[0-9]+\\s|" +
+      "[0-9]+\\.[0-9]+\\s|" +
+      "(?:^|\\s)[0-9]+\\s+(?=[^0-9\\.])" +
+      ")",
+    U
+  )
+
+  def splitTocEntries(normalizedText: String): Vector[String] = {
+    if (Py.strip(normalizedText).isEmpty) return Vector.empty
+    splitP.split(normalizedText, -1).iterator.map(Py.strip).filter(_.nonEmpty).toVector
+  }
+
   /** parse_toc_lines (toc.py:299-323): per-line normalize + parse. */
   def parseTocLines(lines: Seq[String]): Vector[TocEntry] =
     lines.iterator
