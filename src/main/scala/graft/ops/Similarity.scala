@@ -1,5 +1,6 @@
 package graft.ops
 
+import scala.collection.mutable
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -25,18 +26,68 @@ object Similarity {
   }
 
   /** Brute-force top-k: for each query vector (small set, broadcast),
-    * rank all corpus vectors by cosine. Deterministic tie-break on id. */
+    * rank all corpus vectors by cosine. Deterministic tie-break on id.
+    *
+    * Scale shape: the query set is collected + broadcast as primitive
+    * arrays; each corpus partition scores its rows locally (tight double
+    * loop, no boxing, no N x Q row materialization) and emits only its
+    * per-partition top-k per query; the final exact top-k reduces
+    * (partitions x Q x k) tiny rows — same plan a 1000-executor cluster
+    * wants. Dot products accumulate sequentially over dims in double, so
+    * results are bit-identical to the naive column-expression form. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec")))
-    val scored = corpus
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
-      .crossJoin(q)
-      .where(col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", cosine(col("qvec"), col("cvec")))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qRows = queries.select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
+      .collect().sortBy(_._1)
+    val qIds = qRows.map(_._1)
+    val qVecs = qRows.map { case (_, v) => v.map(_.toDouble) }
+    val qNorms = qVecs.map(v => math.sqrt(v.map(x => x * x).sum))
+    val bc = spark.sparkContext.broadcast((qIds, qVecs, qNorms))
+
+    val partialTopK = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { rows =>
+        val (ids, vecs, norms) = bc.value
+        // per-query bounded heaps: (sim asc, neighbor desc) at head = worst
+        val ord = Ordering.by[(Double, Long), (Double, Long)] { case (s, n) => (-s, n) }
+        val heaps = Array.fill(ids.length)(mutable.PriorityQueue.empty[(Double, Long)](ord))
+        rows.foreach { case (cid, cvecF) =>
+          val cvec = new Array[Double](cvecF.length)
+          var d = 0
+          while (d < cvecF.length) { cvec(d) = cvecF(d).toDouble; d += 1 }
+          var cn = 0.0
+          d = 0
+          while (d < cvec.length) { cn += cvec(d) * cvec(d); d += 1 }
+          val cnorm = math.sqrt(cn)
+          var qi = 0
+          while (qi < ids.length) {
+            if (ids(qi) != cid) {
+              val qv = vecs(qi)
+              var dot = 0.0
+              d = 0
+              while (d < qv.length) { dot += qv(d) * cvec(d); d += 1 }
+              val sim = dot / (norms(qi) * cnorm)
+              val h = heaps(qi)
+              if (h.size < k) h.enqueue((sim, cid))
+              else {
+                val (ws, wn) = h.head // worst kept
+                if (sim > ws || (sim == ws && cid < wn)) { h.dequeue(); h.enqueue((sim, cid)) }
+              }
+            }
+            qi += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.iterator.map { case (sim, nid) => (ids(qi), nid, sim) }
+        }
+      }
+      .toDF("query_id", "neighbor_id", "sim")
+
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored
+    partialTopK
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("sim"), 4).as("sim"))
