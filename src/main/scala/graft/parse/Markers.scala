@@ -28,6 +28,9 @@ object Markers {
   /** parse_page_marker + extract_page_number: (page_number, source_file);
     * ("","") when the line is not a page marker. */
   def extractPageNumber(line: String): (String, String) = {
+    // all four marker patterns contain a literal "---"; skip regex work
+    // on the ~95% of lines that cannot match (semantics unchanged)
+    if (!line.contains("---")) return ("", "")
     val m1 = pageP1.matcher(line)
     if (m1.find()) return (m1.group(1), m1.group(2))
     val m2 = pageP2.matcher(line)
@@ -51,6 +54,7 @@ object Markers {
   /** parse_page_metadata (page.py:134-176). Input must be pre-stripped by
     * the caller (the reference passes line.strip()). */
   def parsePageMetadata(text: String): Option[PageMeta] = {
+    if (text.indexOf('/') < 0) return None
     val m = pageMetaP.matcher(Py.strip(text))
     if (!m.matches()) return None
     val sectionName = Py.strip(m.group(1))
@@ -65,6 +69,7 @@ object Markers {
   /** parse_heading_with_warning (heading.py:101-125): level capped at 3,
     * original level 4+ yields a warning message. */
   def parseHeadingWithWarning(line: String): (Option[Heading], Option[String]) = {
+    if (line.isEmpty || line.charAt(0) != '#') return (None, None)
     val m = headingP.matcher(line)
     if (!m.matches()) return (None, None)
     val originalLevel = m.group(1).length
@@ -93,11 +98,13 @@ object Markers {
   private val skipMarkerP = Pattern.compile("<!--\\s*(/?)\\s*[Ss][Kk][Ii][Pp]\\s*-->", U)
 
   def parseTocMarker(line: String): Option[Marker] = {
+    if (!line.contains("<!--")) return None
     val m = tocMarkerP.matcher(line)
     if (m.find()) Some(if (m.group(1).nonEmpty) TocEnd else TocStart) else None
   }
 
   def parseContentMarker(line: String): Option[Marker] = {
+    if (!line.contains("<!--")) return None
     val mc = contentMarkerP.matcher(line)
     if (mc.find()) return Some(if (mc.group(1).nonEmpty) ContentEnd else ContentStart)
     val ms = skipMarkerP.matcher(line)
@@ -165,6 +172,7 @@ object Markers {
 
   /** parse_figure_comment (figure.py:49-72). */
   def parseFigureComment(line: String): Option[String] = {
+    if (!line.contains("<!--")) return None
     val m = figureCommentP.matcher(line)
     if (m.find()) {
       val path = Py.strip(m.group(1))
