@@ -163,7 +163,8 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("band"))),
     "q_lsh_pairs" -> ((s, dir) =>
       Dedup.lshCandidatePairs(
-        Dedup.minhashSignatures(t(s, dir, "documents"), bands = 8, shingleK = 8))
+        Dedup.minhashSignatures(t(s, dir, "documents"), bands = 8, shingleK = 8),
+        maxBucket = 50)
         .orderBy(col("doc_a"), col("doc_b"))),
     "q_ngram_jaccard" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -299,9 +300,13 @@ object SparkEntry {
            SELECT doc_id, unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS band, sh FROM sh),
          sig AS (
            SELECT doc_id, band, min(md5(CAST(band AS VARCHAR) || ':' || sh)) AS sig
-           FROM banded GROUP BY 1, 2)
+           FROM banded GROUP BY 1, 2),
+         pruned AS (
+           SELECT doc_id, band, sig,
+                  count(*) OVER (PARTITION BY band, sig) AS bn
+           FROM sig QUALIFY bn <= 50)
          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+         FROM pruned a JOIN pruned b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
          ORDER BY doc_a, doc_b""",
     "q_ngram_jaccard" ->
       """WITH toks AS (

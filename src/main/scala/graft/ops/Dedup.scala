@@ -45,7 +45,12 @@ object Dedup {
     * path is the band-bucket self-join. */
   def minhashSignatures(docs: DataFrame, bands: Int = 8, shingleK: Int = 5,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    docs
+    // compute-heavy map stage (docs x shingles x bands md5 calls): spread
+    // it across the cluster even when the input is a few small files —
+    // a 600 KB parquet is ONE split, which would serialize all the hashing
+    val spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism * 2,
+      col(idCol))
+    spread
       // array_distinct is in-row (no shuffle); explode feeds codegen'd md5
       .select(col(idCol).as("doc_id"),
         explode(array_distinct(shingles(col(textCol), shingleK))).as("sh"))
@@ -57,14 +62,36 @@ object Dedup {
   }
 
   /** LSH candidate pairs: docs sharing any band signature. Self-join on
-    * (band, sig) — the classic band-bucket join; AQE splits hot buckets. */
-  def lshCandidatePairs(signatures: DataFrame): DataFrame = {
-    val a = signatures.as("a")
-    val b = signatures.as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    * (band, sig) — the classic band-bucket join; AQE splits hot buckets.
+    *
+    * maxBucket suppresses degenerate buckets (a bucket of n docs emits
+    * n^2/2 pairs; a boilerplate-shingle bucket at corpus scale would emit
+    * trillions). Standard near-dup practice: such signatures carry no
+    * discriminative information, like stopwords. Int.MaxValue disables. */
+  def lshCandidatePairs(signatures: DataFrame, maxBucket: Int = Int.MaxValue): DataFrame = {
+    if (maxBucket == Int.MaxValue) {
+      // uncapped: classic band-bucket self-join (AQE splits hot buckets)
+      val a = signatures.as("a")
+      val b = signatures.as("b")
+      a.join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+    } else {
+      // capped: ONE aggregation materializes each bucket's member list,
+      // pairs expand in-row (bounded by maxBucket^2) — no self-join, and
+      // each upstream signature row is computed exactly once.
+      val buckets = signatures
+        .groupBy(col("band"), col("sig"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .where(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
+      buckets
+        .select(col("ids"), posexplode(col("ids")))
+        .withColumnRenamed("pos", "i").withColumnRenamed("col", "doc_a")
+        .select(col("doc_a"),
+          explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("doc_b"))
+        .distinct()
+    }
   }
 
   /** Exact n-gram Jaccard for candidate pairs (verification stage after
