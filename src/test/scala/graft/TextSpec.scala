@@ -155,4 +155,17 @@ class TextSpec extends AnyFunSuite {
     val again = PhashDedup.dedupe(kept.map { case (_, n, h) => (n, h) })
     assert(again.map(_._3) == kept.map(_._3))
   }
+
+  test("marker stats (parser/utils.py:105-136)") {
+    val lines = Vector("<!-- toc -->", "x", "<!-- /toc -->", "<!-- content -->",
+      "<!-- skip -->", "<!-- skip -->", "<!-- /skip -->")
+    val st = graft.parse.Stats.countMarkers(lines)
+    assert(st == graft.parse.Stats.MarkerStats(1, 1, 2))
+  }
+
+  test("CJK display width (cli/normalize_headings.py:17-51)") {
+    assert(graft.parse.Stats.displayWidth("abc") == 3)
+    assert(graft.parse.Stats.displayWidth("日本語") == 6)
+    assert(graft.parse.Stats.displayWidth("aあb") == 4)
+  }
 }
