@@ -48,6 +48,12 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       Similarity.lshTopK(emb, emb.where(col("vec_id") < 10), dimCount = 64, k = 5, nPlanes = 6)
     }),
+    "x_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.where(col("vec_id") < 10), k = 5)
+    }),
+    "x_embed_neardup" -> ((s, dir) =>
+      Similarity.embeddingNearDups(t(s, dir, "embeddings"), dimCount = 64, threshold = 0.9)),
 
     // ---- relational operator families (oracle-gated) ----------------------
     "q_agg_lineitem" -> ((s, dir) =>

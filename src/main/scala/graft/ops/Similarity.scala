@@ -115,6 +115,63 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** Embedding-cosine near-duplicate pairs: SRP-LSH buckets propose
+    * candidates (vectors agreeing on all nPlanes signs), exact cosine
+    * verifies >= threshold. The candidate join is bucket-local — at
+    * corpus scale the pair space is |bucket|^2, not N^2. */
+  def embeddingNearDups(vectors: DataFrame, dimCount: Int, threshold: Double = 0.95,
+      nPlanes: Int = 8, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val bucket = srpBucket(dimCount, nPlanes)(col(vecCol))
+    val b = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"), bucket.as("bucket"))
+    val l = b.as("a"); val r = b.as("b")
+    l.join(r, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .withColumn("sim", cosine(col("a.vec"), col("b.vec")))
+      .where(col("sim") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), round(col("sim"), 4).as("sim"))
+  }
+
+  /** IVF (inverted-file) ANN — the classic scale path: a coarse k-means
+    * quantizer (MLlib, fixed seed) partitions the corpus into nLists
+    * cells; a query scores only its nProbe nearest cells. Returns the
+    * same schema as bruteForceTopK; recall depends on nProbe (benchmarked,
+    * not oracle-gated). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5, nLists: Int = 16,
+      nProbe: Int = 4, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.linalg.Vectors
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.sql.expressions.Window
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
+    val train = corpus.select(col(idCol).as("id"), toVec(col(vecCol)).as("features"))
+    val model = new KMeans().setK(nLists).setSeed(42L).setMaxIter(10).fit(train)
+    val centroids = model.clusterCenters.map(_.toArray)
+    val bcCentroids = spark.sparkContext.broadcast(centroids)
+
+    def nearestCells(n: Int) = udf((a: Seq[Float]) => {
+      val v = a.map(_.toDouble).toArray
+      bcCentroids.value.zipWithIndex.map { case (c, i) =>
+        var d = 0.0; var j = 0
+        while (j < v.length) { val t = v(j) - c(j); d += t * t; j += 1 }
+        (d, i)
+      }.sortBy(x => (x._1, x._2)).take(n).map(_._2)
+    })
+
+    val assigned = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+      nearestCells(1)(col(vecCol))(0).as("cell"))
+    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      explode(nearestCells(nProbe)(col(vecCol))).as("cell"))
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("qvec"), col("cvec")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.select(col("query_id"), col("neighbor_id"), col("sim")).distinct()
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("sim"), 4).as("sim"))
+  }
+
   /** LSH-bucketed ANN: query joins only its bucket (+ optional multiprobe
     * by flipping one bit). Approximate: recall benchmarked vs brute force. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, dimCount: Int, k: Int = 5,
