@@ -53,7 +53,10 @@ object SparkEntry {
       Similarity.ivfTopK(emb, emb.where(col("vec_id") < 10), k = 5)
     }),
     "x_embed_neardup" -> ((s, dir) =>
-      Similarity.embeddingNearDups(t(s, dir, "embeddings"), dimCount = 64, threshold = 0.9)),
+      // the synthetic embeddings' max pairwise cosine is ~0.51, so the
+      // "near-dup" threshold here is tuned to exercise the operator
+      Similarity.embeddingNearDups(t(s, dir, "embeddings"), dimCount = 64,
+        threshold = 0.3, nPlanes = 4)),
 
     // ---- relational operator families (oracle-gated) ----------------------
     "q_agg_lineitem" -> ((s, dir) =>
