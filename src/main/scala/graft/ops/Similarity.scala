@@ -122,10 +122,17 @@ object Similarity {
   def embeddingNearDups(vectors: DataFrame, dimCount: Int, threshold: Double = 0.95,
       nPlanes: Int = 8, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val bucket = srpBucket(dimCount, nPlanes)(col(vecCol))
-    val b = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"), bucket.as("bucket"))
+    // norms computed once per ROW (not per pair): only the dot product is
+    // pairwise work inside the bucket join
+    val norm = sqrt(aggregate(col(vecCol), lit(0.0),
+      (acc, v) => acc + v.cast("double") * v.cast("double")))
+    val b = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      bucket.as("bucket"), norm.as("nrm"))
     val l = b.as("a"); val r = b.as("b")
+    val dot = aggregate(zip_with(col("a.vec"), col("b.vec"),
+      (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, v) => acc + v)
     l.join(r, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .withColumn("sim", cosine(col("a.vec"), col("b.vec")))
+      .withColumn("sim", dot / (col("a.nrm") * col("b.nrm")))
       .where(col("sim") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), round(col("sim"), 4).as("sim"))
   }
