@@ -24,6 +24,9 @@ object Scaling {
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
+      // small maxPartitionBytes so a compact parquet corpus still yields
+      // enough scan splits to saturate every core (no repartition shuffle)
+      .config("spark.sql.files.maxPartitionBytes", s"${4 * 1024 * 1024}")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
@@ -33,22 +36,34 @@ object Scaling {
   def main(args: Array[String]): Unit = {
     val nDocs = if (args.length > 0) args(0).toLong else 20000L
     val passes = if (args.length > 1) args(1).toInt else 4
+    // "parquet" mode: materialize the corpus once and time SCAN+EXTRACT —
+    // the production shape (read Iceberg/parquet, not generate); default
+    // times GENERATE+EXTRACT (no IO, pure compute scaling).
+    val fromParquet = args.length > 2 && args(2) == "parquet"
     val coreLevels = Seq(4, 8, 16, 32)
     val partitions = 256
     val best = scala.collection.mutable.Map.empty[Int, Double].withDefaultValue(Double.MaxValue)
 
-    // warmup JVM once at max parallelism
+    val corpusPath = s"/tmp/graft_corpus_$nDocs"
+    // warmup JVM once at max parallelism (+ materialize corpus if needed)
     locally {
       val s = session(32)
+      import s.implicits._
+      val docs = graft.io.SyntheticCorpus.docs(s, nDocs, partitions = partitions)
+      if (fromParquet && !new java.io.File(corpusPath, "_SUCCESS").exists())
+        docs.write.mode("overwrite").parquet(corpusPath)
       graft.pipeline.Extract.run(
-        graft.io.SyntheticCorpus.docs(s, nDocs, partitions = partitions)).count()
+        if (fromParquet) s.read.parquet(corpusPath).as[graft.model.InputDoc] else docs).count()
       s.stop()
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
     }
 
     for (pass <- 1 to passes; cores <- coreLevels) {
       val s = session(cores)
-      val docs = graft.io.SyntheticCorpus.docs(s, nDocs, partitions = partitions)
+      import s.implicits._
+      val docs =
+        if (fromParquet) s.read.parquet(corpusPath).as[graft.model.InputDoc]
+        else graft.io.SyntheticCorpus.docs(s, nDocs, partitions = partitions)
       val t0 = System.nanoTime()
       val n = graft.pipeline.Extract.run(docs).count()
       assert(n == nDocs)
