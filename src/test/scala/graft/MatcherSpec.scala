@@ -92,4 +92,27 @@ class MatcherSpec extends AnyFunSuite {
     assert(Sections.headingLevelFromNumber("1.1.1") == 3)
     assert(Sections.headingLevelFromNumber("") == 2)
   }
+
+  test("find_similar_candidate matches reference goldens") {
+    Fixtures.resourceLines("/fixtures/simcand.golden.tsv").foreach { line =>
+      val f = line.split("\t", -1)
+      val toc = TocEntry(Fixtures.unesc(f(1)), 1, "", "")
+      val headings = Fixtures.unesc(f(2)).split("\u0001", -1).toVector.zipWithIndex
+        .map { case (t, i) => BodyHeading(t, 2, i + 1) }
+      val got = TocMatcher.findSimilarCandidate(toc, headings)
+      if (f(3).isEmpty) assert(got.isEmpty, s"case ${f(0)}")
+      else {
+        assert(got.map(_._1.text).contains(Fixtures.unesc(f(3))), s"case ${f(0)} heading")
+        assert(math.abs(got.get._2 - f(4).toDouble) < 1e-9, s"case ${f(0)} sim")
+      }
+    }
+  }
+
+  test("dedup primitives: shingles/ngrams/simhash determinism") {
+    assert(graft.ops.Dedup.simhash64(Seq("a", "b")) == graft.ops.Dedup.simhash64(Seq("a", "b")))
+    assert(graft.ops.Dedup.simhash64(Seq("a", "b")) != graft.ops.Dedup.simhash64(Seq("a", "c")))
+    assert(java.lang.Long.bitCount(
+      graft.ops.Dedup.simhash64(Seq("the", "quick", "fox")) ^
+        graft.ops.Dedup.simhash64(Seq("the", "quick", "dog"))) <= 32)
+  }
 }
