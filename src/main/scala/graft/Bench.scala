@@ -34,10 +34,13 @@ object Bench {
     val repeat = sys.env.getOrElse("BENCH_REPEAT", "2").toInt
     def best(f: => Unit): Double = (1 to repeat).map(_ => time(f)).min
 
-    // headline: extraction docs/sec (north-rule metric), after a JVM warmup
-    val docs = graft.io.SyntheticCorpus.docsForSfDir(spark, sfDir)
-    val nDocs = docs.count()
-    graft.pipeline.Extract.run(docs.limit(64)).count() // warmup (codegen/JIT)
+    // headline: extraction docs/sec (north-rule metric). Measured on a
+    // fixed 40k-doc corpus regardless of sf so the number amortizes task
+    // launch and is comparable to BASELINE.md's scaling table; warmup
+    // pass first (codegen/JIT).
+    val nDocs = 40000L
+    val docs = graft.io.SyntheticCorpus.docs(spark, nDocs, partitions = 256)
+    graft.pipeline.Extract.run(docs).count() // warmup
     val extractSec = best(graft.pipeline.Extract.run(docs).count())
     val docsPerSec = nDocs / extractSec
 
