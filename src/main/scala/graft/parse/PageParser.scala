@@ -92,6 +92,7 @@ object PageParser {
     var inToc = false
     var hadTocMarker = false
     var tocLines = Vector.newBuilder[String]
+    val cache = new LineCache(lines)
 
     def stackList: List[String] = markerStack.toList // head == top
 
@@ -147,20 +148,20 @@ object PageParser {
             // figure comment
             Markers.parseFigureComment(line) match {
               case Some(_) =>
-                val figLines = collectFigureLines(lines, idx)
+                val figLines = collectFigureLines(lines, idx, cache)
                 Markers.parseFigure(figLines).foreach(figures += _)
                 idx += figLines.length
               case None =>
                 // page metadata
-                Markers.parsePageMetadata(Py.strip(line)) match {
+                Markers.parsePageMetadata(cache.stripped(idx)) match {
                   case Some(meta) =>
                     metadata = Some(meta)
                     idx += 1
                   case None =>
-                    val (isList, _, _) = Markers.isListLine(line)
+                    val (isList, _, _) = cache.isList(idx)
                     var handled = false
                     if (isList) {
-                      val (listLines, listIdx) = collectListLines(lines, idx)
+                      val (listLines, listIdx) = collectListLines(lines, idx, cache)
                       if (listLines.length >= 2) {
                         Markers.parseList(listLines).foreach { l =>
                           elements += ListEl(l.items, l.listType, readAloud)
@@ -171,8 +172,8 @@ object PageParser {
                       // single item: fall through to paragraph handling
                     }
                     if (!handled) {
-                      if (Py.strip(line).nonEmpty) {
-                        val (paraLines, paraIdx) = collectParagraphLines(lines, idx)
+                      if (cache.stripped(idx).nonEmpty) {
+                        val (paraLines, paraIdx) = collectParagraphLines(lines, idx, cache)
                         Paragraphs.parseParagraph(paraLines).foreach { p =>
                           elements += Paragraph(p.text, readAloud)
                         }
@@ -196,66 +197,82 @@ object PageParser {
     (page, errors.result(), tocEntries.result(), hadTocMarker)
   }
 
+  /** Per-page memo for the two classification results the parse asks for
+    * more than once per line (strip + list detection): each classifier is
+    * pure, so caching is semantics-free — it only removes rework. */
+  private final class LineCache(lines: IndexedSeq[String]) {
+    private val strippedA = new Array[String](lines.length)
+    private val isListA = new Array[(Boolean, String, String)](lines.length)
+    def stripped(i: Int): String = {
+      var v = strippedA(i)
+      if (v == null) { v = Py.strip(lines(i)); strippedA(i) = v }
+      v
+    }
+    def isList(i: Int): (Boolean, String, String) = {
+      var v = isListA(i)
+      if (v == null) { v = Markers.isListLine(lines(i)); isListA(i) = v }
+      v
+    }
+  }
+
   /** _collect_figure_lines (page.py:404-423): from the comment line, up to
     * 10 lines, stop at blank. */
-  private def collectFigureLines(lines: IndexedSeq[String], startIdx: Int): Vector[String] = {
+  private def collectFigureLines(lines: IndexedSeq[String], startIdx: Int,
+      c: LineCache): Vector[String] = {
     val out = Vector.newBuilder[String]
     var i = startIdx
     var stop = false
     while (i < lines.length && i < startIdx + 10 && !stop) {
-      val l = lines(i)
-      if (Py.strip(l).isEmpty) stop = true
-      else { out += l; i += 1 }
+      if (c.stripped(i).isEmpty) stop = true
+      else { out += lines(i); i += 1 }
     }
     out.result()
   }
 
   /** _collect_list_lines (page.py:426-448). */
-  private def collectListLines(lines: IndexedSeq[String], startIdx: Int): (Vector[String], Int) = {
+  private def collectListLines(lines: IndexedSeq[String], startIdx: Int,
+      c: LineCache): (Vector[String], Int) = {
     val out = Vector.newBuilder[String]
     out += lines(startIdx)
     var i = startIdx + 1
     var stop = false
     while (i < lines.length && !stop) {
-      val l = lines(i)
-      if (Py.strip(l).isEmpty) stop = true
+      if (c.stripped(i).isEmpty) stop = true
       else {
-        val (isList, _, _) = Markers.isListLine(l)
-        if (isList) { out += l; i += 1 } else stop = true
+        if (c.isList(i)._1) { out += lines(i); i += 1 } else stop = true
       }
     }
     (out.result(), i)
   }
 
   /** _should_stop_paragraph (page.py:451-492). */
-  private def shouldStopParagraph(line: String, lines: IndexedSeq[String], idx: Int): Boolean = {
-    if (Py.strip(line).isEmpty) return true
+  private def shouldStopParagraph(lines: IndexedSeq[String], idx: Int, c: LineCache): Boolean = {
+    val line = lines(idx)
+    if (c.stripped(idx).isEmpty) return true
     if (Markers.parseHeading(line).isDefined) return true
-    val (isList, _, _) = Markers.isListLine(line)
-    if (isList) {
+    if (c.isList(idx)._1) {
       val lookahead = idx + 1
       if (lookahead < lines.length) {
-        val (nextIsList, _, _) = Markers.isListLine(lines(lookahead))
-        if (nextIsList) return true
+        if (c.isList(lookahead)._1) return true
       }
       // single list marker: treated as part of the paragraph
     }
     if (Markers.parseFigureComment(line).isDefined) return true
-    if (Markers.parsePageMetadata(Py.strip(line)).isDefined) return true
+    if (Markers.parsePageMetadata(c.stripped(idx)).isDefined) return true
     if (Markers.parseTocMarker(line).isDefined) return true
     if (Markers.parseContentMarker(line).isDefined) return true
     false
   }
 
   /** _collect_paragraph_lines (page.py:495-513). */
-  private def collectParagraphLines(lines: IndexedSeq[String], startIdx: Int): (Vector[String], Int) = {
+  private def collectParagraphLines(lines: IndexedSeq[String], startIdx: Int,
+      c: LineCache): (Vector[String], Int) = {
     val out = Vector.newBuilder[String]
     var i = startIdx
     var stop = false
     while (i < lines.length && !stop) {
-      val l = lines(i)
-      if (shouldStopParagraph(l, lines, i)) stop = true
-      else { out += l; i += 1 }
+      if (shouldStopParagraph(lines, i, c)) stop = true
+      else { out += lines(i); i += 1 }
     }
     (out.result(), i)
   }
