@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.io.{SyntheticCorpus, TableIO}
+
+/** Bucket-partitioned table layout: roundtrip fidelity + partition pruning
+  * reaches the scan (the Iceberg-emulation seam, SURVEY §7.0). */
+class TableIOSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", "false")
+      .appName("graft-tableio")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("roundtrip preserves docs; bucket filter prunes partitions in the plan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tbl").toString
+    val docs = SyntheticCorpus.docs(spark, 30, partitions = 4)
+    TableIO.writeDocs(docs, dir, TableIO.Cfg(nBuckets = 8))
+
+    val back = TableIO.readDocs(spark, dir, TableIO.Cfg(nBuckets = 8))
+    assert(back.count() == 30)
+    assert(back.toDF().except(docs.toDF()).isEmpty && docs.toDF().except(back.toDF()).isEmpty)
+
+    val pruned = TableIO.readDocs(spark, dir, TableIO.Cfg(nBuckets = 8), Some(Seq(0, 1)))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"partition pruning missing from plan")
+    assert(pruned.count() < 30)
+    // extraction over the pruned read equals extracting those docs directly
+    val prunedIds = pruned.collect().map(_.doc_id).toSet
+    val full = graft.pipeline.Extract.spans(docs).toDF().where(
+      org.apache.spark.sql.functions.col("doc_id").isin(prunedIds.toSeq: _*))
+    val sub = graft.pipeline.Extract.spans(pruned).toDF()
+    assert(sub.except(full).isEmpty && full.except(sub).isEmpty)
+  }
+}
