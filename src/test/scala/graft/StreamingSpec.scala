@@ -58,4 +58,19 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     query.stop()
   }
+
+  test("streaming extraction == batch extraction over the same docs") {
+    val ss = spark; import ss.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = (0 until 8).map(i => graft.io.SyntheticCorpus.genDoc(i.toLong))
+    val input = MemoryStream[graft.model.InputDoc]
+    val q = graft.streaming.ExtractStream.spans(input.toDS())
+      .writeStream.format("memory").queryName("xspans").outputMode("append").start()
+    docs.grouped(3).foreach { b => input.addData(b); q.processAllAvailable() }
+    val got = spark.table("xspans")
+    val expected = docs.flatMap(d => graft.pipeline.Extract.extractDoc(d).spans).toDF()
+    assert(got.count() == expected.count())
+    assert(got.except(expected).isEmpty && expected.except(got).isEmpty)
+    q.stop()
+  }
 }
