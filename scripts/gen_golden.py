@@ -49,6 +49,11 @@ def main(md_path, out_path):
                  f'number={e.number}' if e.number else '')
     for p in pages:
         emit('page', p.number, '', p.number, 0, False, f'sourceFile={p.source_file}')
+        # live path emits the pageAnnouncement first inside each <page>
+        # (transformer.py:318-321, text "Nページ", readAloud always false)
+        if p.announcement is not None:
+            emit('announcement', p.announcement.text, '', p.number, 0, False,
+                 f'format={p.announcement.format}')
         for el in p.content.elements:
             if isinstance(el, Heading):
                 el = hmap[id(el)]

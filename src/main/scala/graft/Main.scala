@@ -27,8 +27,17 @@ object Main {
     args.toList match {
       case "extract" :: inDir :: outDir :: rest =>
         val buckets = rest.headOption.map(_.toInt).getOrElse(256)
-        val docs = spark.read.parquet(inDir).as[graft.model.InputDoc]
-        val manifests = graft.pipeline.Checkpoint.run(docs, outDir, buckets)
+        // A corpus already in the bucket(doc_id) layout (Iceberg-style) is
+        // consumed with per-bucket partition pruning — no staging pass and
+        // no full rescans; a flat table is staged once by Checkpoint.run.
+        val manifests =
+          if (isBucketPartitioned(spark, inDir))
+            graft.pipeline.Checkpoint.runPartitioned(spark, inDir, outDir,
+              graft.io.TableIO.Cfg(nBuckets = buckets))
+          else {
+            val docs = spark.read.parquet(inDir).as[graft.model.InputDoc]
+            graft.pipeline.Checkpoint.run(docs, outDir, buckets)
+          }
         report(outDir, manifests, spark)
       case "synth" :: nDocs :: outDir :: rest =>
         val buckets = rest.headOption.map(_.toInt).getOrElse(64)
@@ -40,6 +49,13 @@ object Main {
         sys.exit(2)
     }
     spark.stop()
+  }
+
+  private def isBucketPartitioned(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists(s =>
+      s.isDirectory && s.getPath.getName.startsWith("bucket="))
   }
 
   private def report(outDir: String, ran: Vector[graft.pipeline.Checkpoint.BucketManifest],

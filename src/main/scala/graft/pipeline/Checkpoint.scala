@@ -3,6 +3,7 @@ package graft.pipeline
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.io.TableIO
 import graft.model.InputDoc
 
 /** Per-partition checkpoint/resume with lineage + span/char-count metrics
@@ -10,12 +11,19 @@ import graft.model.InputDoc
   *
   * Mirrors the reference's cache-first resume (pickle cache per page,
   * src/layout/detector.py:168-205 + src/layout_ocr.py:352-379) lifted to
-  * Iceberg-partition granularity: the corpus is bucketed by hash(doc_id);
-  * each bucket is processed independently and COMMITTED atomically by
-  * writing a manifest AFTER its parquet output is complete. On restart,
-  * buckets with a manifest are skipped (anti-join on committed buckets);
+  * Iceberg-partition granularity: the corpus lives in (or is staged once
+  * into) the bucket(doc_id)-partitioned [[TableIO]] layout; each bucket is
+  * processed independently from a PRUNED scan (PartitionFilters on the
+  * bucket column — the input is read once per bucket, never rescanned in
+  * full) and COMMITTED atomically by writing a manifest AFTER its parquet
+  * output is complete. On restart, buckets with a manifest are skipped;
   * a bucket without one is rewritten from scratch (overwrite -> output is
   * idempotent, no duplicate or missing spans).
+  *
+  * Read amplification: one full pass to stage (skipped when the input is
+  * already bucket-partitioned, as an Iceberg table would be), then exactly
+  * one pruned read per bucket — O(1) total scans of the corpus, vs
+  * O(nBuckets) for a naive filter-per-bucket loop over a flat table.
   *
   * On a real cluster the same protocol runs against the object store /
   * Iceberg snapshots; buckets are Iceberg partitions and the manifest is
@@ -28,6 +36,11 @@ object Checkpoint {
 
   def bucketOf(docId: org.apache.spark.sql.Column, nBuckets: Int): org.apache.spark.sql.Column =
     pmod(xxhash64(docId), lit(nBuckets)).cast("int")
+
+  /** Where `run` stages a non-partitioned input (idempotent, `_SUCCESS`
+    * marks completion). A production Iceberg corpus is already laid out
+    * this way and skips staging entirely (use [[runPartitioned]]). */
+  def stagedCorpusPath(outDir: String): String = s"$outDir/_staged_corpus"
 
   private def fs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -71,32 +84,41 @@ object Checkpoint {
     }
   }
 
-  /** Process all uncommitted buckets; returns manifests of this run.
+  /** Extract one bucket's docs, write its span partition durably, then
+    * commit the manifest (metrics computed from the durable output so the
+    * write itself is validated before the commit point). */
+  private def processBucket(bucketDocs: Dataset[InputDoc], b: Int, outDir: String,
+      runningHeadThreshold: Double): BucketManifest = {
+    val spark = bucketDocs.sparkSession
+    import spark.implicits._
+    val results = Extract.run(bucketDocs, runningHeadThreshold)
+    val spans = results.flatMap(r => r.spans)
+    val path = s"$outDir/bucket=$b"
+    spans.write.mode(SaveMode.Overwrite).parquet(path)
+    val row = spark.read.parquet(path)
+      .agg(count(lit(1)).as("span_count"), sum(length(col("text"))).as("char_count"),
+        count_distinct(col("doc_id")).as("n_docs"))
+      .head()
+    BucketManifest(b,
+      row.getAs[Long]("n_docs"), row.getAs[Long]("span_count"),
+      Option(row.getAs[java.lang.Long]("char_count")).map(_.toLong).getOrElse(0L),
+      0L)
+  }
+
+  /** Process all uncommitted buckets of an ALREADY bucket-partitioned
+    * corpus (the TableIO layout / an Iceberg bucket(doc_id) table): each
+    * bucket is a pruned partition read.
     * `failAtBucket` injects a crash AFTER processing-but-before-commit of
     * the given bucket (test hook for the kill/rerun invariant). */
-  def run(docs: Dataset[InputDoc], outDir: String, nBuckets: Int = 16,
-      runningHeadThreshold: Double = 0.5, failAtBucket: Int = -1): Vector[BucketManifest] = {
-    val spark = docs.sparkSession
-    import spark.implicits._
+  def runPartitioned(spark: SparkSession, corpusPath: String, outDir: String,
+      cfg: TableIO.Cfg = TableIO.Cfg(), runningHeadThreshold: Double = 0.5,
+      failAtBucket: Int = -1): Vector[BucketManifest] = {
     val done = committedBuckets(spark, outDir)
     val out = Vector.newBuilder[BucketManifest]
-    (0 until nBuckets).foreach { b =>
+    (0 until cfg.nBuckets).foreach { b =>
       if (!done.contains(b)) {
-        val bucketDocs = docs.where(bucketOf(col("doc_id"), nBuckets) === b).as[InputDoc]
-        val results = Extract.run(bucketDocs, runningHeadThreshold)
-        val spans = results.flatMap(r => r.spans)
-        val path = s"$outDir/bucket=$b"
-        spans.write.mode(SaveMode.Overwrite).parquet(path)
-        // lineage metrics computed from the DURABLE output (validates the
-        // write itself before the commit point)
-        val row = spark.read.parquet(path)
-          .agg(count(lit(1)).as("span_count"), sum(length(col("text"))).as("char_count"),
-            count_distinct(col("doc_id")).as("n_docs"))
-          .head()
-        val m = BucketManifest(b,
-          row.getAs[Long]("n_docs"), row.getAs[Long]("span_count"),
-          Option(row.getAs[java.lang.Long]("char_count")).map(_.toLong).getOrElse(0L),
-          0L)
+        val bucketDocs = TableIO.readDocs(spark, corpusPath, cfg, bucketFilter = Some(Seq(b)))
+        val m = processBucket(bucketDocs, b, outDir, runningHeadThreshold)
         if (b == failAtBucket)
           throw new RuntimeException(s"injected failure before committing bucket $b")
         writeManifest(spark, outDir, m)
@@ -104,5 +126,26 @@ object Checkpoint {
       }
     }
     out.result()
+  }
+
+  /** Stage a flat input into the bucket-partitioned layout (one full pass,
+    * skipped when already staged — `_SUCCESS` is the completion marker). */
+  def stage(docs: Dataset[InputDoc], outDir: String, cfg: TableIO.Cfg): String = {
+    val spark = docs.sparkSession
+    val staged = stagedCorpusPath(outDir)
+    val f = fs(spark, staged)
+    if (!f.exists(new Path(staged, "_SUCCESS")))
+      TableIO.writeDocs(docs, staged, cfg)
+    staged
+  }
+
+  /** Checkpointed extraction from a flat Dataset: stages the corpus into
+    * the partitioned layout once, then runs the pruned per-bucket loop.
+    * Total input scans: 1 (stage) + 1 pruned read per bucket. */
+  def run(docs: Dataset[InputDoc], outDir: String, nBuckets: Int = 16,
+      runningHeadThreshold: Double = 0.5, failAtBucket: Int = -1): Vector[BucketManifest] = {
+    val cfg = TableIO.Cfg(nBuckets = nBuckets)
+    val staged = stage(docs, outDir, cfg)
+    runPartitioned(docs.sparkSession, staged, outDir, cfg, runningHeadThreshold, failAtBucket)
   }
 }

@@ -56,6 +56,12 @@ object Extract {
     parsed.pages.foreach { page =>
       emit("page", page.number, "", page.number, 0, readAloud = false,
         attrs = s"sourceFile=${page.sourceFile}")
+      // pageAnnouncement is the FIRST child of each <page> in the live path
+      // (page.py:119-133 create_page_announcement "Nページ" format=simple,
+      // transformer.py:318-321; None when the page number is empty)
+      if (page.number.nonEmpty)
+        emit("announcement", s"${page.number}ページ", "", page.number, 0, readAloud = false,
+          attrs = "format=simple")
       page.elements.foreach {
         case h: Heading =>
           val ph = processedIter.next() // same order as _extract_headings

@@ -137,6 +137,10 @@ object ExtractRelational {
     d.pages.foreach { page =>
       emit("page", page.number, "", page.number, 0, readAloud = false,
         attrs = s"sourceFile=${page.sourceFile}")
+      // announcement-first inside each page (transformer.py:318-321)
+      if (page.number.nonEmpty)
+        emit("announcement", s"${page.number}ページ", "", page.number, 0, readAloud = false,
+          attrs = "format=simple")
       page.elements.foreach { e =>
         e.kind match {
           case "heading" =>

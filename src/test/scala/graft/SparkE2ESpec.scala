@@ -86,6 +86,25 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(manifests.map(_.nDocs).sum == 30)
   }
 
+  test("checkpoint per-bucket reads are partition-pruned (no full rescan)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val docs = corpus(20)
+    Checkpoint.run(docs, dir, nBuckets = 4)
+    // the flat input was staged ONCE into the bucket layout ...
+    val staged = Checkpoint.stagedCorpusPath(dir)
+    assert(new java.io.File(staged, "_SUCCESS").exists())
+    // ... and each bucket's read carries a PartitionFilter on `bucket`
+    // (pruned scan), not a recomputed hash filter over the full input
+    val perBucket = graft.io.TableIO.readDocs(spark, staged,
+      graft.io.TableIO.Cfg(nBuckets = 4), bucketFilter = Some(Seq(2)))
+    val plan = perBucket.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"), plan)
+    assert(!plan.contains("xxhash64"), s"bucket filter must prune, not rescan:\n$plan")
+    // re-running over the staged layout is a no-op (all buckets committed)
+    assert(Checkpoint.runPartitioned(spark, staged, dir,
+      graft.io.TableIO.Cfg(nBuckets = 4)).isEmpty)
+  }
+
   test("media plumbing: stub decode yields typed metadata for every figure") {
     val ss = spark; import ss.implicits._
     val docs = corpus(20)
