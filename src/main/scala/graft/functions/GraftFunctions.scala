@@ -1,11 +1,12 @@
 package graft.functions
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{AbstractDataType, DataType, DoubleType, LongType, StringType}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** SQL surface for the engine's scalar primitives as native Catalyst
@@ -51,28 +52,147 @@ case class Simhash64Expr(child: Expression)
   override def prettyName: String = "simhash64"
 }
 
+/** Primitive-loop vector kernels over array<float> columns. These back
+  * codegen Catalyst expressions: the pairwise hot paths of the ANN /
+  * near-dup operators must NOT go through interpreted higher-order
+  * functions (aggregate/zip_with lambdas are interpreted per element —
+  * measured badly beaten by primitive loops, see BASELINE.md). */
+object VectorKernels {
+  /** Cosine similarity; sequential double accumulation over dims (same
+    * order as the previous fold-based form — bit-identical results). */
+  def cosineSim(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Deterministic pseudo-random hyperplane weight in [-1, 1) for
+    * (plane, dim) — splitmix64-style hash mix, no RNG state. */
+  def planeWeight(plane: Int, dim: Int, seed: Long): Double = {
+    var z = seed ^ (plane.toLong * 0x9e3779b97f4a7c15L) ^ (dim.toLong * 0xbf58476d1ce4e5b9L)
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^= (z >>> 31)
+    (z >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
+  }
+
+  /** Sign-random-projection signature: bit p set iff dot(vec,
+    * plane(planeOffset + p)) >= 0. One pass over dims, all planes
+    * accumulated together; per-plane accumulation order over dims is
+    * ascending, matching the previous per-plane fold bit-for-bit. */
+  def srpBand(vec: ArrayData, planeOffset: Int, nPlanes: Int, seed: Long): Long = {
+    val acc = new Array[Double](nPlanes)
+    val n = vec.numElements()
+    var d = 0
+    while (d < n) {
+      val x = vec.getFloat(d).toDouble
+      var p = 0
+      while (p < nPlanes) { acc(p) += x * planeWeight(planeOffset + p, d, seed); p += 1 }
+      d += 1
+    }
+    var sig = 0L
+    var p = 0
+    while (p < nPlanes) { if (acc(p) >= 0) sig |= (1L << p); p += 1 }
+    sig
+  }
+}
+
+case class CosineSimExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim expects (array<float>, array<float>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.cosineSim(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorKernels.cosineSim($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression) =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "cosine_sim"
+}
+
+case class SrpBandExpr(child: Expression, planeOffset: Int, nPlanes: Int, seed: Long)
+    extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any): Any =
+    VectorKernels.srpBand(a.asInstanceOf[ArrayData], planeOffset, nPlanes, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.VectorKernels.srpBand($a, $planeOffset, $nPlanes, ${seed}L)")
+  override protected def withNewChildInternal(newChild: Expression) = copy(child = newChild)
+  override def prettyName: String = "srp_band"
+}
+
+/** DataFrame-side constructors for the codegen kernels. */
+object GraftColumns {
+  import org.apache.spark.sql.classic.GraftExprAccess
+  def cosineSim(a: Column, b: Column): Column =
+    GraftExprAccess.column(CosineSimExpr(GraftExprAccess.expression(a),
+      GraftExprAccess.expression(b)))
+  def srpBand(vec: Column, planeOffset: Int, nPlanes: Int, seed: Long = 42L): Column =
+    GraftExprAccess.column(SrpBandExpr(GraftExprAccess.expression(vec),
+      planeOffset, nPlanes, seed))
+}
+
 /** SparkSessionExtensions injector:
   * spark.sql.extensions=graft.functions.GraftExtensions */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftFunctions.arity
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("seq_ratio"),
       new ExpressionInfo(classOf[SeqRatioExpr].getName, "seq_ratio"),
-      (children: Seq[Expression]) => SeqRatioExpr(children(0), children(1))))
+      (children: Seq[Expression]) => { arity("seq_ratio", children, 2)
+        SeqRatioExpr(children(0), children(1)) }))
     ext.injectFunction((
       new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[Simhash64Expr].getName, "simhash64"),
-      (children: Seq[Expression]) => Simhash64Expr(children.head)))
+      (children: Seq[Expression]) => { arity("simhash64", children, 1)
+        Simhash64Expr(children.head) }))
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimExpr].getName, "cosine_sim"),
+      (children: Seq[Expression]) => { arity("cosine_sim", children, 2)
+        CosineSimExpr(children(0), children(1)) }))
   }
 }
 
 object GraftFunctions {
+  private[functions] def arity(name: String, children: Seq[Expression], want: Int): Unit =
+    if (children.length != want)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map("functionName" -> name, "expectedNum" -> want.toString,
+          "actualNum" -> children.length.toString, "docroot" -> ""))
+
   /** Imperative registration for an existing session (tests, notebooks). */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     registry.createOrReplaceTempFunction("seq_ratio",
-      (children: Seq[Expression]) => SeqRatioExpr(children(0), children(1)), "scala_udf")
+      (children: Seq[Expression]) => { arity("seq_ratio", children, 2)
+        SeqRatioExpr(children(0), children(1)) }, "scala_udf")
     registry.createOrReplaceTempFunction("simhash64",
-      (children: Seq[Expression]) => Simhash64Expr(children.head), "scala_udf")
+      (children: Seq[Expression]) => { arity("simhash64", children, 1)
+        Simhash64Expr(children.head) }, "scala_udf")
+    registry.createOrReplaceTempFunction("cosine_sim",
+      (children: Seq[Expression]) => { arity("cosine_sim", children, 2)
+        CosineSimExpr(children(0), children(1)) }, "scala_udf")
   }
 }

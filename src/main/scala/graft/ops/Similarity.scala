@@ -3,27 +3,26 @@ package graft.ops
 import scala.collection.mutable
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.GraftColumns
 
 /** Similarity search over an embedding column (array<float>).
   *
   * Baseline: brute-force cosine top-k with a BROADCAST of the (small)
   * query set — map-side only, no shuffle except the final per-query top-k
-  * aggregation. Scale path: random-hyperplane LSH buckets so the pair
-  * space shrinks from N×Q to bucket-local joins; both return identical
-  * top-k for the verified configurations (LSH is recall<1 by design and
-  * is benchmarked, not oracle-gated).
+  * aggregation. Scale paths: SRP-LSH buckets and IVF cells shrink the
+  * pair space from N×Q to bucket-local joins.
+  *
+  * All pairwise scoring goes through the codegen `cosine_sim` /
+  * `srp_band` Catalyst expressions ([[graft.functions.VectorKernels]]) —
+  * primitive double loops, no interpreted higher-order functions in any
+  * per-pair hot path.
   */
 object Similarity {
 
-  /** Cosine similarity of two array<float/double> columns (zip_with +
-    * aggregate — codegen'd higher-order functions, computed in double). */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
-    val nb = sqrt(aggregate(b, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
-    dot / (na * nb)
-  }
+  /** Cosine similarity of two array<float> columns — codegen primitive
+    * loop per pair (bit-identical to the previous fold form: sequential
+    * double accumulation over dims). */
+  def cosine(a: Column, b: Column): Column = GraftColumns.cosineSim(a, b)
 
   /** Brute-force top-k: for each query vector (small set, broadcast),
     * rank all corpus vectors by cosine. Deterministic tie-break on id.
@@ -93,57 +92,60 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("sim"), 4).as("sim"))
   }
 
-  /** Deterministic random hyperplanes (seeded, no Math.random): plane p,
-    * dim d -> pseudo-gaussian-ish weight via a hash mix. */
-  private def planeWeight(plane: Int, dim: Int, seed: Long): Double = {
-    var z = seed ^ (plane.toLong * 0x9e3779b97f4a7c15L) ^ (dim.toLong * 0xbf58476d1ce4e5b9L)
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^= (z >>> 31)
-    // map to [-1, 1)
-    (z >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
-  }
+  /** Sign-random-projection bucket id (nPlanes-bit signature) — codegen
+    * kernel, one primitive pass over dims for all planes. `dimCount` is
+    * retained for source compatibility; the kernel reads the array length. */
+  def srpBucket(dimCount: Int, nPlanes: Int = 12, seed: Long = 42L)(vec: Column): Column =
+    GraftColumns.srpBand(vec, planeOffset = 0, nPlanes = nPlanes, seed = seed)
 
-  /** Sign-random-projection bucket id (nPlanes-bit signature). */
-  def srpBucket(dimCount: Int, nPlanes: Int = 12, seed: Long = 42L)(vec: Column): Column = {
-    val bits = (0 until nPlanes).map { p =>
-      val dot = aggregate(zip_with(vec,
-        array((0 until dimCount).map(d => lit(planeWeight(p, d, seed))): _*),
-        (x, w) => x.cast("double") * w), lit(0.0), (acc, v) => acc + v)
-      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
-
-  /** Embedding-cosine near-duplicate pairs: SRP-LSH buckets propose
-    * candidates (vectors agreeing on all nPlanes signs), exact cosine
-    * verifies >= threshold. The candidate join is bucket-local — at
-    * corpus scale the pair space is |bucket|^2, not N^2. */
+  /** Embedding-cosine near-duplicate pairs — the corpus-scale shape:
+    * banded SRP-LSH (bands × planesPerBand sign signatures; a pair is a
+    * candidate if it collides in ANY band — recall strictly dominates a
+    * single table with the same planesPerBand) with the same hot-bucket
+    * suppression as [[Dedup.lshCandidatePairs]]: each (band, sig) bucket
+    * materializes its (bounded) member list once and expands pairs
+    * in-row, so a degenerate bucket can never go quadratic. Candidates
+    * are deduped across bands BEFORE scoring; exact cosine (codegen
+    * kernel) verifies >= threshold.
+    *
+    * Expected bucket size ~ N * bands / 2^planesPerBand; choose
+    * planesPerBand so that stays under maxBucket at the target corpus
+    * size, and maxBucket caps the damage when the data is adversarial. */
   def embeddingNearDups(vectors: DataFrame, dimCount: Int, threshold: Double = 0.95,
-      nPlanes: Int = 8, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val bucket = srpBucket(dimCount, nPlanes)(col(vecCol))
-    // norms computed once per ROW (not per pair): only the dot product is
-    // pairwise work inside the bucket join
-    val norm = sqrt(aggregate(col(vecCol), lit(0.0),
-      (acc, v) => acc + v.cast("double") * v.cast("double")))
-    val b = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      bucket.as("bucket"), norm.as("nrm"))
-    val l = b.as("a"); val r = b.as("b")
-    val dot = aggregate(zip_with(col("a.vec"), col("b.vec"),
-      (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, v) => acc + v)
-    l.join(r, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .withColumn("sim", dot / (col("a.nrm") * col("b.nrm")))
+      nPlanes: Int = 8, bands: Int = 4, maxBucket: Int = 4096, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // one row per (vector, band): band b uses planes [b*nPlanes, (b+1)*nPlanes)
+    val sigs = vectors.select(col(idCol).as("id"), posexplode(array(
+      (0 until bands).map(b => GraftColumns.srpBand(col(vecCol), b * nPlanes, nPlanes, seed)): _*
+    )).as(Seq("band", "sig")))
+    // capped bucket expansion (ids only — vectors join back for scoring)
+    val buckets = sigs
+      .groupBy(col("band"), col("sig"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .where(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
+    val candidates = buckets
+      .select(col("ids"), posexplode(col("ids")))
+      .withColumnRenamed("pos", "i").withColumnRenamed("col", "id_a")
+      .select(col("id_a"), explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("id_b"))
+      .distinct() // dedup across bands before any pairwise scoring
+    val vecs = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    candidates
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))
+      .withColumn("sim", cosine(col("vec_a"), col("vec_b")))
       .where(col("sim") >= threshold)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), round(col("sim"), 4).as("sim"))
+      .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
   }
 
   /** IVF (inverted-file) ANN — the classic scale path: a coarse k-means
-    * quantizer (MLlib, fixed seed) partitions the corpus into nLists
-    * cells; a query scores only its nProbe nearest cells. Returns the
-    * same schema as bruteForceTopK; recall depends on nProbe (benchmarked,
-    * not oracle-gated). */
+    * quantizer (MLlib, fixed seed, trained on a bounded sample — the
+    * quantizer needs cluster geometry, not the full corpus) partitions
+    * the corpus into nLists cells; a query scores only its nProbe
+    * nearest cells. Returns the same schema as bruteForceTopK; recall
+    * depends on nProbe (benchmarked, not oracle-gated). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5, nLists: Int = 16,
-      nProbe: Int = 4, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      nProbe: Int = 4, maxTrain: Int = 100000,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.ml.linalg.Vectors
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.sql.expressions.Window
@@ -151,18 +153,24 @@ object Similarity {
     import spark.implicits._
 
     val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
-    val train = corpus.select(col(idCol).as("id"), toVec(col(vecCol)).as("features"))
+    // bounded training sample: metadata-cheap count -> seeded fraction.
+    // At 10^12 rows the quantizer sees ~maxTrain vectors, not the corpus.
+    val n = corpus.count()
+    val fraction = math.min(1.0, maxTrain.toDouble / math.max(n, 1L))
+    val trainRows =
+      if (fraction >= 1.0) corpus else corpus.sample(withReplacement = false, fraction, 42L)
+    val train = trainRows.select(col(idCol).as("id"), toVec(col(vecCol)).as("features"))
     val model = new KMeans().setK(nLists).setSeed(42L).setMaxIter(10).fit(train)
     val centroids = model.clusterCenters.map(_.toArray)
     val bcCentroids = spark.sparkContext.broadcast(centroids)
 
-    def nearestCells(n: Int) = udf((a: Seq[Float]) => {
+    def nearestCells(nCells: Int) = udf((a: Seq[Float]) => {
       val v = a.map(_.toDouble).toArray
       bcCentroids.value.zipWithIndex.map { case (c, i) =>
         var d = 0.0; var j = 0
         while (j < v.length) { val t = v(j) - c(j); d += t * t; j += 1 }
         (d, i)
-      }.sortBy(x => (x._1, x._2)).take(n).map(_._2)
+      }.sortBy(x => (x._1, x._2)).take(nCells).map(_._2)
     })
 
     val assigned = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),

@@ -165,9 +165,20 @@ object ExtractRelational {
     spans.result()
   }
 
-  /** Full relational pipeline. */
-  def spans(docs: Dataset[InputDoc], thresholdRatio: Double = 0.5): Dataset[OutSpan] = {
-    val parsed = parse(docs)
+  /** Full relational pipeline. `parsed` feeds BOTH the running-head
+    * aggregation and the emission, so it is persisted (serialized,
+    * spills to disk) — without it the dominant parse stage executes
+    * twice. At 100 TB the persist trades one extra materialization of
+    * the parsed corpus (≈ input-sized, evicted under pressure) against
+    * a full second parse; callers that prefer recompute (e.g. cheap
+    * parse, scarce storage) can pass persistParsed = false. */
+  def spans(docs: Dataset[InputDoc], thresholdRatio: Double = 0.5,
+      persistParsed: Boolean = true): Dataset[OutSpan] = {
+    val parsed0 = parse(docs)
+    val parsed =
+      if (persistParsed)
+        parsed0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      else parsed0
     emit(parsed, runningHeads(parsed, thresholdRatio))
   }
 }

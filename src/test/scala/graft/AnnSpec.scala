@@ -64,4 +64,45 @@ class AnnSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r.getAs[Long]("id_a") < r.getAs[Long]("id_b"))
     }
   }
+
+  test("banded near-dup recall dominates a single SRP table (any-band collide)") {
+    def pairs(bands: Int) =
+      Similarity.embeddingNearDups(emb, dimCount = 64, threshold = 0.3,
+        nPlanes = 4, bands = bands)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = pairs(1) // band 0 = the planes of the old single-table config
+    val banded = pairs(4)
+    assert(single.subsetOf(banded), s"banded lost ${(single -- banded).size} pairs")
+    assert(banded.size >= single.size)
+  }
+
+  test("near-dup sims are true cosines (match brute-force scoring)") {
+    val ss = spark; import ss.implicits._
+    val dups = Similarity.embeddingNearDups(emb, dimCount = 64, threshold = 0.3, nPlanes = 4)
+      .collect()
+    assert(dups.nonEmpty)
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toMap
+    dups.foreach { r =>
+      val a = vecs(r.getAs[Long]("id_a")).map(_.toDouble)
+      val b = vecs(r.getAs[Long]("id_b")).map(_.toDouble)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      val expect = math.rint(dot / (math.sqrt(na) * math.sqrt(nb)) * 10000) / 10000
+      assert(math.abs(r.getAs[Double]("sim") - expect) < 1e-9)
+    }
+  }
+
+  test("hot-bucket cap suppresses degenerate buckets instead of going quadratic") {
+    val ss = spark; import ss.implicits._
+    // 30 identical vectors -> one bucket of 30 in every band; cap at 10
+    val same = (0L until 30L).map(i => (i, Array.fill(8)(1.0f))).toDF("vec_id", "embedding")
+    val capped = Similarity.embeddingNearDups(same, dimCount = 8, threshold = 0.9,
+      nPlanes = 4, bands = 2, maxBucket = 10)
+    assert(capped.count() == 0) // bucket over cap -> no pairs proposed
+    val uncapped = Similarity.embeddingNearDups(same, dimCount = 8, threshold = 0.9,
+      nPlanes = 4, bands = 2, maxBucket = 4096)
+    assert(uncapped.count() == 30L * 29 / 2)
+  }
 }

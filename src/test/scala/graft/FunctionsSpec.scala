@@ -44,6 +44,59 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       df.queryExecution.executedPlan.toString.contains("Project"))
   }
 
+  test("cosine_sim via SQL: exact value, null handling, codegen plan") {
+    val df = spark.sql(
+      """SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+                           array(CAST(1.0 AS FLOAT), CAST(1.0 AS FLOAT))) AS c,
+                cosine_sim(CAST(NULL AS ARRAY<FLOAT>),
+                           array(CAST(1.0 AS FLOAT))) AS n""")
+    val row = df.head()
+    assert(math.abs(row.getDouble(0) - 1.0 / math.sqrt(2.0)) < 1e-15)
+    assert(row.isNullAt(1))
+    assert(df.queryExecution.executedPlan.toString.contains("WholeStageCodegen") ||
+      df.queryExecution.executedPlan.toString.contains("Project"))
+  }
+
+  test("cosine_sim column matches the interpreted fold form bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(20)
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val pairs = a.join(b, col("id_a") < col("id_b"))
+    val interpreted = {
+      val dot = aggregate(zip_with(col("va"), col("vb"),
+        (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, v) => acc + v)
+      val na = sqrt(aggregate(col("va"), lit(0.0),
+        (acc, v) => acc + v.cast("double") * v.cast("double")))
+      val nb = sqrt(aggregate(col("vb"), lit(0.0),
+        (acc, v) => acc + v.cast("double") * v.cast("double")))
+      dot / (na * nb)
+    }
+    val diff = pairs
+      .select(graft.functions.GraftColumns.cosineSim(col("va"), col("vb")).as("fast"),
+        interpreted.as("slow"))
+      .where(col("fast") =!= col("slow"))
+    assert(diff.count() == 0)
+  }
+
+  test("srp_band expr matches the kernel; bands with distinct offsets differ") {
+    import org.apache.spark.sql.functions._
+    val ss = spark; import ss.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(50)
+    val got = emb.select(col("vec_id"), col("embedding"),
+      graft.functions.GraftColumns.srpBand(col("embedding"), 0, 8).as("b0"),
+      graft.functions.GraftColumns.srpBand(col("embedding"), 8, 8).as("b1"))
+      .as[(Long, Array[Float], Long, Long)].collect()
+    got.foreach { case (_, v, b0, b1) =>
+      val arr = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(v)
+      assert(b0 == graft.functions.VectorKernels.srpBand(arr, 0, 8, 42L))
+      assert(b1 == graft.functions.VectorKernels.srpBand(arr, 8, 8, 42L))
+      assert(b0 >= 0 && b0 < 256 && b1 >= 0 && b1 < 256)
+    }
+    // different plane offsets must give (mostly) independent signatures
+    assert(got.count { case (_, _, b0, b1) => b0 == b1 } < got.length)
+  }
+
   test("expressions usable over a table scan") {
     val ss = spark; import ss.implicits._
     val docs = Seq(("a", "信頼性の設計"), ("b", "信頼性の設訃")).toDF("id", "t")
