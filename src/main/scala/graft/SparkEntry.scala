@@ -57,6 +57,25 @@ object SparkEntry {
       // "near-dup" threshold here is tuned to exercise the operator
       Similarity.embeddingNearDups(t(s, dir, "embeddings"), dimCount = 64,
         threshold = 0.3, nPlanes = 4)),
+    "x_grouped_spans" -> ((s, dir) => {
+      // hierarchy grouping (group_pages_by_toc) run DISTRIBUTED: per-page
+      // (section_key, chapter, level) assignment rows over the corpus
+      import s.implicits._
+      SyntheticCorpus.docsForSfDir(s, dir).mapPartitions(_.flatMap { d =>
+        val lines = d.spans.sortBy(_.offset).map(_.text).toIndexedSeq
+        val parsed = graft.parse.PageParser.parseDocument(lines)
+        graft.group.Grouping.groupPages(parsed.pages, parsed.tocEntries).map(g =>
+          (d.doc_id, g.pageIdx, g.sectionKey, g.chapterNum, g.level))
+      }).toDF("doc_id", "page_idx", "section_key", "chapter_num", "level")
+    }),
+    "x_book_xml" -> ((s, dir) => {
+      // formatter sink distributed: one book.xml per doc (byte-parity with
+      // the reference is golden-gated in XmlSinkSpec; here rows + digests)
+      graft.sink.XmlBuilder.xml(SyntheticCorpus.docsForSfDir(s, dir))
+        .toDF("doc_id", "xml")
+        .select(col("doc_id"), length(col("xml")).as("n_chars"),
+          sha2(col("xml"), 256).as("xml_sha"))
+    }),
 
     // ---- relational operator families (oracle-gated) ----------------------
     "q_agg_lineitem" -> ((s, dir) =>
@@ -181,6 +200,14 @@ object SparkEntry {
       val pairs = small.select(col("doc_id").as("doc_a"))
         .crossJoin(small.select(col("doc_id").as("doc_b")))
         .where(col("doc_a") < col("doc_b"))
+      Dedup.ngramJaccard(docs, pairs, n = 3).orderBy(col("doc_a"), col("doc_b"))
+    }),
+    "q_lsh_jaccard" -> ((s, dir) => {
+      // the PRODUCTION dedup composition: LSH candidate proposal feeding
+      // the exact n-gram Jaccard verifier (pair-driven joins end-to-end)
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.lshCandidatePairs(
+        Dedup.minhashSignatures(docs, bands = 8, shingleK = 8), maxBucket = 50)
       Dedup.ngramJaccard(docs, pairs, n = 3).orderBy(col("doc_a"), col("doc_b"))
     }),
 
@@ -330,6 +357,36 @@ object SparkEntry {
                 round(len(list_intersect(a.ngrams, b.ngrams)) * 1.0
                       / greatest(len(list_distinct(list_concat(a.ngrams, b.ngrams))), 1), 4) AS jaccard
          FROM ng a JOIN ng b ON a.doc_id < b.doc_id
+         ORDER BY doc_a, doc_b""",
+    "q_lsh_jaccard" ->
+      """WITH sh AS (
+           SELECT DISTINCT doc_id,
+                  unnest(CASE WHEN length(text) < 8 THEN [text]
+                         ELSE [substr(text, i, 8) FOR i IN range(1, length(text) - 6)] END) AS sh
+           FROM documents),
+         banded AS (
+           SELECT doc_id, unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS band, sh FROM sh),
+         sig AS (
+           SELECT doc_id, band, min(md5(CAST(band AS VARCHAR) || ':' || sh)) AS sig
+           FROM banded GROUP BY 1, 2),
+         pruned AS (
+           SELECT doc_id, band, sig,
+                  count(*) OVER (PARTITION BY band, sig) AS bn
+           FROM sig QUALIFY bn <= 50),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM pruned a JOIN pruned b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+         ng AS (
+           SELECT doc_id,
+                  list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                       ELSE [array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)] END) AS ngrams
+           FROM toks)
+         SELECT p.doc_a, p.doc_b,
+                round(len(list_intersect(a.ngrams, b.ngrams)) * 1.0
+                      / greatest(len(list_distinct(list_concat(a.ngrams, b.ngrams))), 1), 4) AS jaccard
+         FROM pairs p JOIN ng a ON p.doc_a = a.doc_id JOIN ng b ON p.doc_b = b.doc_id
          ORDER BY doc_a, doc_b""",
     "q_ann_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
