@@ -36,12 +36,21 @@ object Bench {
 
     // headline: extraction docs/sec (north-rule metric). Measured on a
     // fixed 40k-doc corpus regardless of sf so the number amortizes task
-    // launch and is comparable to BASELINE.md's scaling table; warmup
-    // pass first (codegen/JIT).
+    // launch and is comparable to BASELINE.md's scaling table. The VM
+    // has multi-second external stalls (5x run variance documented in
+    // BASELINE.md), so the headline uses >=3 timed repeats after 2
+    // warmups and reports best AND median — best is the number of
+    // record (matches graft.Scaling's best-of-N protocol), the median
+    // shows how noisy this particular run was.
     val nDocs = 40000L
+    val extractRepeat = math.max(3, repeat)
     val docs = graft.io.SyntheticCorpus.docs(spark, nDocs, partitions = 256)
-    graft.pipeline.Extract.run(docs).count() // warmup
-    val extractSec = best(graft.pipeline.Extract.run(docs).count())
+    graft.pipeline.Extract.run(docs).count() // warmup (codegen/JIT)
+    graft.pipeline.Extract.run(docs).count()
+    val runs = (1 to extractRepeat).map(_ => time(graft.pipeline.Extract.run(docs).count()))
+      .sorted
+    val extractSec = runs.head
+    val extractMedian = runs(runs.length / 2)
     val docsPerSec = nDocs / extractSec
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -55,6 +64,7 @@ object Bench {
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
         s""""extract_docs":$nDocs,"extract_sec":$extractSec,"extract_docs_per_sec":$docsPerSec,""" +
+        s""""extract_sec_median":$extractMedian,"extract_repeats":$extractRepeat,""" +
         s""""cpus":$cpus}""")
     spark.stop()
   }
