@@ -126,15 +126,26 @@ object PhashDedup {
   }
 }
 
-/** Salt-based skew mitigation for oversized books (north rule).
-  * Docs are atomic (order-dependent folds inside a doc), so salting only
-  * spreads docs ACROSS partitions, never splits one: repartition by
-  * hash(doc_id, salt) where salt = hash(doc_id) % salts.
+/** Skew handling for oversized books (north rule).
+  *
+  * Documents are ATOMIC here: every in-doc pass is an order-dependent
+  * fold (marker stack, dedup-vs-last-kept, TOC cursor), so one doc can
+  * never be split across tasks — a "salt" that is a function of doc_id
+  * adds zero spread over hashing doc_id alone and is deliberately NOT
+  * used. The real mitigations, all exercised in this repo:
+  *   - over-partitioning: ≥8 partitions per core (Scaling.scala uses 256
+  *     fixed) so a heavy-tail doc (~2% of the corpus at 150-400 pages)
+  *     delays one small partition, not a core-sized one;
+  *   - AQE skew-split on the shuffling paths (ExtractRelational's
+  *     heading agg; the LSH bucket joins), where rows ARE divisible;
+  *   - the relational path (ExtractRelational) for docs too large for
+  *     one row, where the heading agg distributes across pages.
   */
 object Skew {
   import org.apache.spark.sql.DataFrame
   import org.apache.spark.sql.functions._
 
-  def repartitionByDocHash(df: DataFrame, numPartitions: Int, salts: Int = 16): DataFrame =
-    df.repartition(numPartitions, hash(col("doc_id"), pmod(hash(col("doc_id")), lit(salts))))
+  /** Spread docs uniformly across numPartitions by doc_id hash. */
+  def repartitionByDocHash(df: DataFrame, numPartitions: Int): DataFrame =
+    df.repartition(numPartitions, col("doc_id"))
 }

@@ -106,14 +106,20 @@ object ExtractRelational {
   }
 
   /** Stage D: emit spans, applying running-head + exclusion read-aloud
-    * rules with the joined (broadcast) filter set. */
+    * rules with the joined filter set.
+    *
+    * Join strategy is left to AQE on purpose: rhSets is ≤1 tiny row per
+    * doc — at test scale AQE broadcasts it (verified in PLANS.md); at
+    * 10^12 docs a forced broadcast would collect a corpus-sized set on
+    * every executor, so the planner must be free to fall back to a
+    * shuffled join keyed on doc_id. */
   def emit(parsed: Dataset[ParsedDoc], runningHeadSet: DataFrame): Dataset[OutSpan] = {
     val spark = parsed.sparkSession
     import spark.implicits._
     val rhSets = runningHeadSet
       .groupBy($"doc_id").agg(collect_set($"norm_text").as("rh"))
     val joined = parsed
-      .joinWith(broadcast(rhSets), parsed("doc_id") === rhSets("doc_id"), "left_outer")
+      .joinWith(rhSets, parsed("doc_id") === rhSets("doc_id"), "left_outer")
     joined.mapPartitions(_.flatMap { case (d, rhRow) =>
       val rh: Set[String] =
         if (rhRow == null) Set.empty
