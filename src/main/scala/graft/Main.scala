@@ -7,6 +7,7 @@ import org.apache.spark.sql.SparkSession
   * Usage:
   *   spark-submit --class graft.Main <jar> extract   <inDir> <outDir> [buckets]
   *   spark-submit --class graft.Main <jar> synth     <nDocs> <outDir> [buckets]
+  *   spark-submit --class graft.Main <jar> xml       <inDir> <outDir>
   *
   * `extract` reads an input table with the input_hint shape
   * (doc_id string, spans array<struct<kind,text,media_ref,offset>>) from
@@ -44,8 +45,19 @@ object Main {
         val docs = graft.io.SyntheticCorpus.docs(spark, nDocs.toLong)
         val manifests = graft.pipeline.Checkpoint.run(docs, outDir, buckets)
         report(outDir, manifests, spark)
+      case "xml" :: inDir :: outDir :: Nil =>
+        // formatter sink: one reference-parity book.xml string per doc
+        val docs =
+          if (isBucketPartitioned(spark, inDir))
+            graft.io.TableIO.readDocs(spark, inDir)
+          else spark.read.parquet(inDir).as[graft.model.InputDoc]
+        graft.sink.XmlBuilder.xml(docs).toDF("doc_id", "xml")
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(outDir)
+        val n = spark.read.parquet(outDir).count()
+        println(s"""{"docs":$n,"out":"$outDir"}""")
       case other =>
-        System.err.println(s"unknown args: $other (want: extract|synth ...)")
+        System.err.println(s"unknown args: $other (want: extract <in> <out> [buckets] | " +
+          "synth <nDocs> <out> [buckets] | xml <in> <out>)")
         sys.exit(2)
     }
     spark.stop()
