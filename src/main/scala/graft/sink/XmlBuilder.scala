@@ -249,6 +249,13 @@ object XmlBuilder {
     sb.append("</").append(e.tag).append('>')
   }
 
+  /** Serialize one element without the declaration (parity tests). */
+  def fragment(e: El): String = {
+    val sb = new StringBuilder
+    serializeTop(e, sb)
+    sb.toString
+  }
+
   /** Distributed sink: one book.xml string per document (narrow map). */
   def xml(docs: Dataset[InputDoc], runningHeadThreshold: Double = 0.5)
       : Dataset[(String, String)] = {

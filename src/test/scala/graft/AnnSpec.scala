@@ -56,6 +56,24 @@ class AnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     // IVF sims must be true cosines: every returned pair's sim matches brute when shared
   }
 
+  test("SRP-LSH recall@5 vs brute force >= 0.4 with multiprobe at 6 planes") {
+    val queries = emb.where(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(emb, queries, dimCount = 64, k = 5, nPlanes = 6)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    assert(recall >= 0.4, s"LSH recall $recall")
+    // shared pairs carry identical rounded sims (scoring is true cosine)
+    val bSims = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    Similarity.lshTopK(emb, queries, dimCount = 64, k = 5, nPlanes = 6)
+      .collect().foreach { r =>
+        val key = (r.getLong(0), r.getLong(2))
+        bSims.get(key).foreach(b => assert(b == r.getDouble(3), s"sim mismatch $key"))
+      }
+  }
+
   test("embedding near-dup pairs are symmetric-free and above threshold") {
     val dups = Similarity.embeddingNearDups(emb, dimCount = 64, threshold = 0.8, nPlanes = 4)
       .collect()
