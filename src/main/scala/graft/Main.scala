@@ -5,8 +5,8 @@ import org.apache.spark.sql.SparkSession
 /** spark-submit entry point for the extraction pipeline.
   *
   * Usage:
-  *   spark-submit --class graft.Main <jar> extract   <inDir> <outDir> [buckets]
-  *   spark-submit --class graft.Main <jar> synth     <nDocs> <outDir> [buckets]
+  *   spark-submit --class graft.Main <jar> extract   <inDir> <outDir> [buckets] [parallelism]
+  *   spark-submit --class graft.Main <jar> synth     <nDocs> <outDir> [buckets] [parallelism]
   *   spark-submit --class graft.Main <jar> xml       <inDir> <outDir>
   *
   * `extract` reads an input table with the input_hint shape
@@ -28,22 +28,25 @@ object Main {
     args.toList match {
       case "extract" :: inDir :: outDir :: rest =>
         val buckets = rest.headOption.map(_.toInt).getOrElse(256)
+        val par = rest.drop(1).headOption.map(_.toInt).getOrElse(4)
         // A corpus already in the bucket(doc_id) layout (Iceberg-style) is
         // consumed with per-bucket partition pruning — no staging pass and
         // no full rescans; a flat table is staged once by Checkpoint.run.
+        // `par` buckets run concurrently so job tails overlap.
         val manifests =
           if (isBucketPartitioned(spark, inDir))
             graft.pipeline.Checkpoint.runPartitioned(spark, inDir, outDir,
-              graft.io.TableIO.Cfg(nBuckets = buckets))
+              graft.io.TableIO.Cfg(nBuckets = buckets), parallelism = par)
           else {
             val docs = spark.read.parquet(inDir).as[graft.model.InputDoc]
-            graft.pipeline.Checkpoint.run(docs, outDir, buckets)
+            graft.pipeline.Checkpoint.run(docs, outDir, buckets, parallelism = par)
           }
         report(outDir, manifests, spark)
       case "synth" :: nDocs :: outDir :: rest =>
         val buckets = rest.headOption.map(_.toInt).getOrElse(64)
+        val par = rest.drop(1).headOption.map(_.toInt).getOrElse(4)
         val docs = graft.io.SyntheticCorpus.docs(spark, nDocs.toLong)
-        val manifests = graft.pipeline.Checkpoint.run(docs, outDir, buckets)
+        val manifests = graft.pipeline.Checkpoint.run(docs, outDir, buckets, parallelism = par)
         report(outDir, manifests, spark)
       case "xml" :: inDir :: outDir :: Nil =>
         // formatter sink: one reference-parity book.xml string per doc

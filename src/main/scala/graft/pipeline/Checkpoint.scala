@@ -105,27 +105,59 @@ object Checkpoint {
       0L)
   }
 
+  /** One bucket's docs as a pruned view over a SHARED corpus DataFrame:
+    * `bucket` is a partition column, so the filter becomes a
+    * PartitionFilter at planning time (asserted in SparkE2ESpec), while
+    * the file listing/index is built ONCE for all buckets instead of
+    * once per bucket (256 re-listings of a 100-TB table is driver-side
+    * pain for nothing). */
+  def bucketDocs(corpus: org.apache.spark.sql.DataFrame, b: Int): Dataset[InputDoc] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    corpus.where(col("bucket") === b).select(col("doc_id"), col("spans")).as[InputDoc]
+  }
+
   /** Process all uncommitted buckets of an ALREADY bucket-partitioned
     * corpus (the TableIO layout / an Iceberg bucket(doc_id) table): each
-    * bucket is a pruned partition read.
+    * bucket is a pruned partition read over one shared file index.
+    *
+    * `parallelism` > 1 processes that many buckets CONCURRENTLY (Spark's
+    * scheduler interleaves their jobs): a single bucket's tail tasks no
+    * longer idle the cluster between jobs — the utilization fix for
+    * checkpoint granularity at many-bucket configs. Each bucket still
+    * commits atomically via its own manifest, so kill/rerun semantics
+    * are unchanged (buckets in flight at a crash simply lack manifests
+    * and are redone).
+    *
     * `failAtBucket` injects a crash AFTER processing-but-before-commit of
     * the given bucket (test hook for the kill/rerun invariant). */
   def runPartitioned(spark: SparkSession, corpusPath: String, outDir: String,
       cfg: TableIO.Cfg = TableIO.Cfg(), runningHeadThreshold: Double = 0.5,
-      failAtBucket: Int = -1): Vector[BucketManifest] = {
+      failAtBucket: Int = -1, parallelism: Int = 1): Vector[BucketManifest] = {
     val done = committedBuckets(spark, outDir)
-    val out = Vector.newBuilder[BucketManifest]
-    (0 until cfg.nBuckets).foreach { b =>
-      if (!done.contains(b)) {
-        val bucketDocs = TableIO.readDocs(spark, corpusPath, cfg, bucketFilter = Some(Seq(b)))
-        val m = processBucket(bucketDocs, b, outDir, runningHeadThreshold)
-        if (b == failAtBucket)
-          throw new RuntimeException(s"injected failure before committing bucket $b")
-        writeManifest(spark, outDir, m)
-        out += m
-      }
+    val corpus = spark.read.format(cfg.format).load(corpusPath)
+    val remaining = (0 until cfg.nBuckets).filterNot(done.contains)
+
+    def one(b: Int): BucketManifest = {
+      val m = processBucket(bucketDocs(corpus, b), b, outDir, runningHeadThreshold)
+      if (b == failAtBucket)
+        throw new RuntimeException(s"injected failure before committing bucket $b")
+      writeManifest(spark, outDir, m)
+      m
     }
-    out.result()
+
+    if (parallelism <= 1) remaining.map(one).toVector
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try {
+        val futures = remaining.map(b => scala.concurrent.Future(one(b)))
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(futures),
+          scala.concurrent.duration.Duration.Inf).toVector
+      } finally pool.shutdown()
+    }
   }
 
   /** Stage a flat input into the bucket-partitioned layout (one full pass,
@@ -143,9 +175,11 @@ object Checkpoint {
     * the partitioned layout once, then runs the pruned per-bucket loop.
     * Total input scans: 1 (stage) + 1 pruned read per bucket. */
   def run(docs: Dataset[InputDoc], outDir: String, nBuckets: Int = 16,
-      runningHeadThreshold: Double = 0.5, failAtBucket: Int = -1): Vector[BucketManifest] = {
+      runningHeadThreshold: Double = 0.5, failAtBucket: Int = -1,
+      parallelism: Int = 1): Vector[BucketManifest] = {
     val cfg = TableIO.Cfg(nBuckets = nBuckets)
     val staged = stage(docs, outDir, cfg)
-    runPartitioned(docs.sparkSession, staged, outDir, cfg, runningHeadThreshold, failAtBucket)
+    runPartitioned(docs.sparkSession, staged, outDir, cfg, runningHeadThreshold, failAtBucket,
+      parallelism)
   }
 }

@@ -93,16 +93,38 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     // the flat input was staged ONCE into the bucket layout ...
     val staged = Checkpoint.stagedCorpusPath(dir)
     assert(new java.io.File(staged, "_SUCCESS").exists())
-    // ... and each bucket's read carries a PartitionFilter on `bucket`
-    // (pruned scan), not a recomputed hash filter over the full input
-    val perBucket = graft.io.TableIO.readDocs(spark, staged,
-      graft.io.TableIO.Cfg(nBuckets = 4), bucketFilter = Some(Seq(2)))
+    // ... and each bucket's read (the EXACT dataset Checkpoint executes)
+    // carries a PartitionFilter on `bucket` over one shared file index,
+    // not a recomputed hash filter over the full input
+    val stagedDf = spark.read.parquet(staged)
+    val perBucket = Checkpoint.bucketDocs(stagedDf, 2)
     val plan = perBucket.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("bucket"), plan)
     assert(!plan.contains("xxhash64"), s"bucket filter must prune, not rescan:\n$plan")
     // re-running over the staged layout is a no-op (all buckets committed)
     assert(Checkpoint.runPartitioned(spark, staged, dir,
       graft.io.TableIO.Cfg(nBuckets = 4)).isEmpty)
+  }
+
+  test("parallel bucket processing: identical output and resumable after a crash") {
+    val seqDir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val parDir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val docs = corpus(30)
+    Checkpoint.run(docs, seqDir, nBuckets = 8)
+    // crash injected in one of the concurrently-processed buckets
+    intercept[Exception] {
+      Checkpoint.run(docs, parDir, nBuckets = 8, failAtBucket = 5, parallelism = 3)
+    }
+    assert(!Checkpoint.committedBuckets(spark, parDir).contains(5))
+    // resume in parallel completes the rest
+    Checkpoint.run(docs, parDir, nBuckets = 8, parallelism = 3)
+    assert(Checkpoint.committedBuckets(spark, parDir) == (0 until 8).toSet)
+    val a = spark.read.parquet((0 until 8).map(b => s"$seqDir/bucket=$b"): _*)
+    val b = spark.read.parquet((0 until 8).map(b => s"$parDir/bucket=$b"): _*)
+    assert(a.count() == b.count())
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+    // manifests agree bucket-for-bucket
+    assert(Checkpoint.readManifests(spark, seqDir) == Checkpoint.readManifests(spark, parDir))
   }
 
   test("media plumbing: stub decode yields typed metadata for every figure") {
