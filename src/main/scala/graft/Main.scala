@@ -48,16 +48,32 @@ object Main {
         val docs = graft.io.SyntheticCorpus.docs(spark, nDocs.toLong)
         val manifests = graft.pipeline.Checkpoint.run(docs, outDir, buckets, parallelism = par)
         report(outDir, manifests, spark)
-      case "xml" :: inDir :: outDir :: Nil =>
-        // formatter sink: one reference-parity book.xml string per doc
+      case "xml" :: inDir :: outDir :: rest =>
+        // formatter sink: one reference-parity book.xml string per doc;
+        // "grouped" applies the --group-pages hierarchy transform, with
+        // reference-rejected docs quarantined as error rows
+        val grouped = rest.headOption.contains("grouped")
         val docs =
           if (isBucketPartitioned(spark, inDir))
             graft.io.TableIO.readDocs(spark, inDir)
           else spark.read.parquet(inDir).as[graft.model.InputDoc]
-        graft.sink.XmlBuilder.xml(docs).toDF("doc_id", "xml")
-          .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(outDir)
-        val n = spark.read.parquet(outDir).count()
-        println(s"""{"docs":$n,"out":"$outDir"}""")
+        val out =
+          if (!grouped)
+            graft.sink.XmlBuilder.xml(docs).toDF("doc_id", "xml")
+              .withColumn("error", org.apache.spark.sql.functions.lit(""))
+          else docs.mapPartitions(_.map { d =>
+            scala.util.Try(graft.sink.GroupedXml.buildGroupedXml(d)) match {
+              case scala.util.Success(x) => (d.doc_id, x, "")
+              case scala.util.Failure(e) =>
+                (d.doc_id, "", e.getClass.getSimpleName + ": " +
+                  Option(e.getMessage).getOrElse(""))
+            }
+          }).toDF("doc_id", "xml", "error")
+        out.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(outDir)
+        val written = spark.read.parquet(outDir)
+        val n = written.count()
+        val errs = written.where(org.apache.spark.sql.functions.col("error") =!= "").count()
+        println(s"""{"docs":$n,"errors":$errs,"out":"$outDir"}""")
       case other =>
         System.err.println(s"unknown args: $other (want: extract <in> <out> [buckets] | " +
           "synth <nDocs> <out> [buckets] | xml <in> <out>)")

@@ -76,6 +76,18 @@ object SparkEntry {
         .select(col("doc_id"), length(col("xml")).as("n_chars"),
           sha2(col("xml"), 256).as("xml_sha"))
     }),
+    "x_grouped_xml" -> ((s, dir) => {
+      // the --group-pages output path distributed; docs the reference
+      // itself rejects (empty page number, >50% page loss) are quarantined
+      // as error rows, like a production pipeline would
+      import s.implicits._
+      SyntheticCorpus.docsForSfDir(s, dir).mapPartitions(_.map { d =>
+        scala.util.Try(graft.sink.GroupedXml.buildGroupedXml(d)) match {
+          case scala.util.Success(x) => (d.doc_id, true, x.length, "")
+          case scala.util.Failure(e) => (d.doc_id, false, 0, e.getClass.getSimpleName)
+        }
+      }).toDF("doc_id", "ok", "n_chars", "err_kind")
+    }),
 
     // ---- relational operator families (oracle-gated) ----------------------
     "q_agg_lineitem" -> ((s, dir) =>

@@ -183,6 +183,16 @@ object XmlBuilder {
   /** The full sink: parse + heading processing (same front half as
     * [[graft.pipeline.Extract.extractDoc]]) + build_xml_with_errors. */
   def buildXmlWithErrors(doc: InputDoc, runningHeadThreshold: Double = 0.5): String = {
+    val root = buildBookTree(doc, runningHeadThreshold)
+    val sb = new StringBuilder
+    sb.append("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n")
+    serializeTop(root, sb)
+    sb.toString
+  }
+
+  /** The book element tree of build_xml_with_errors (pre-serialization) —
+    * also the input to the grouped transform [[GroupedXml]]. */
+  def buildBookTree(doc: InputDoc, runningHeadThreshold: Double = 0.5): El = {
     val lines = doc.spans.sortBy(_.offset).map(_.text).toIndexedSeq
     val parsed = PageParser.parseDocument(lines)
     val allHeadings = parsed.pages.flatMap(_.elements).collect { case h: Heading => h }
@@ -224,11 +234,7 @@ object XmlBuilder {
         })
       root.append(pe)
     }
-
-    val sb = new StringBuilder
-    sb.append("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n")
-    serializeTop(root, sb)
-    sb.toString
+    root
   }
 
   // top-level serializer honoring Tail pseudo-nodes

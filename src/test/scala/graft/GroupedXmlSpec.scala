@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sink.GroupedXml
+
+/** group_pages_by_toc parity: byte-equality against XML produced by
+  * RUNNING the reference's convert_book(group_pages=True) on the same
+  * fixture books, including its failure modes (int("") on empty page
+  * numbers; PageValidationError when grouping drops >50% of pages). An
+  * offline 200-book sweep additionally matches outcome (bytes or raise
+  * kind) per book. */
+class GroupedXmlSpec extends AnyFunSuite {
+
+  private def check(md: String, ref: String, id: String): Unit = {
+    val doc = Fixtures.mdToDoc(md, id)
+    val got = GroupedXml.buildGroupedXml(doc)
+    val expected = Fixtures.resourceLines(ref).mkString("\n")
+    if (got != expected) {
+      val i = got.zip(expected).indexWhere { case (a, b) => a != b }
+      val at = if (i < 0) math.min(got.length, expected.length) else i
+      fail(s"first diff at char $at:\n  got      …${got.slice(at - 40, at + 60)}…\n" +
+        s"  expected …${expected.slice(at - 40, at + 60)}…")
+    }
+  }
+
+  test("sample_book grouped (no TOC -> all pages in front-matter, flattened)")(
+    check("/fixtures/sample_book.md", "/fixtures/sample_book.grouped.xml", "sample_book"))
+
+  test("emphasis_book grouped byte-equal")(
+    check("/fixtures/emphasis_book.md", "/fixtures/emphasis_book.grouped.xml", "emphasis_book"))
+
+  Seq(0, 2, 3, 5).foreach { i =>
+    test(s"synth doc_$i grouped byte-equal (TOC hierarchy, front-matter, dup removal)")(
+      check(s"/fixtures/synth/doc_$i.md", s"/fixtures/synth/doc_$i.grouped.xml", s"doc_$i"))
+  }
+
+  test("toc_book grouped raises like the reference (int('') on empty page number)") {
+    val doc = Fixtures.mdToDoc("/fixtures/toc_book.md", "toc_book")
+    intercept[NumberFormatException](GroupedXml.buildGroupedXml(doc))
+  }
+
+  Seq(1, 4).foreach { i =>
+    test(s"synth doc_$i grouped raises PageValidation like the reference (>50% loss)") {
+      val doc = Fixtures.mdToDoc(s"/fixtures/synth/doc_$i.md", s"doc_$i")
+      intercept[GroupedXml.PageValidationException](GroupedXml.buildGroupedXml(doc))
+    }
+  }
+
+  test("grouped output never contains page elements; page comments preserved") {
+    val doc = Fixtures.mdToDoc("/fixtures/synth/doc_0.md", "doc_0")
+    val xml = GroupedXml.buildGroupedXml(doc)
+    assert(!xml.contains("<page "))
+    assert(xml.contains("<!-- page "))
+    assert(xml.contains("<chapter ") || xml.contains("<front-matter>"))
+  }
+}
