@@ -94,6 +94,6 @@ object Main {
     val all = graft.pipeline.Checkpoint.readManifests(spark, outDir)
     println(s"""{"buckets_total":${all.size},"buckets_this_run":${ran.size},""" +
       s""""docs":${all.map(_.nDocs).sum},"spans":${all.map(_.spanCount).sum},""" +
-      s""""chars":${all.map(_.charCount).sum}}""")
+      s""""chars":${all.map(_.charCount).sum},"errors":${all.map(_.errorCount).sum}}""")
   }
 }

@@ -84,25 +84,36 @@ object Checkpoint {
     }
   }
 
-  /** Extract one bucket's docs, write its span partition durably, then
-    * commit the manifest (metrics computed from the durable output so the
-    * write itself is validated before the commit point). */
+  /** Extract one bucket's docs, write its span partition AND its
+    * conversion-error sidecar durably, then commit the manifest (all
+    * metrics computed from the durable outputs so the writes themselves
+    * are validated before the commit point). Results are persisted for
+    * the two writes, then released. */
   private def processBucket(bucketDocs: Dataset[InputDoc], b: Int, outDir: String,
       runningHeadThreshold: Double): BucketManifest = {
     val spark = bucketDocs.sparkSession
     import spark.implicits._
     val results = Extract.run(bucketDocs, runningHeadThreshold)
-    val spans = results.flatMap(r => r.spans)
-    val path = s"$outDir/bucket=$b"
-    spans.write.mode(SaveMode.Overwrite).parquet(path)
-    val row = spark.read.parquet(path)
-      .agg(count(lit(1)).as("span_count"), sum(length(col("text"))).as("char_count"),
-        count_distinct(col("doc_id")).as("n_docs"))
-      .head()
-    BucketManifest(b,
-      row.getAs[Long]("n_docs"), row.getAs[Long]("span_count"),
-      Option(row.getAs[java.lang.Long]("char_count")).map(_.toLong).getOrElse(0L),
-      0L)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    try {
+      val spans = results.flatMap(r => r.spans)
+      val path = s"$outDir/bucket=$b"
+      spans.write.mode(SaveMode.Overwrite).parquet(path)
+      val errPath = s"$outDir/errors/bucket=$b"
+      results.flatMap(r => r.errors.map(e =>
+          (r.doc_id, e.error_type, e.message, e.page_number, e.line_number)))
+        .toDF("doc_id", "error_type", "message", "page_number", "line_number")
+        .write.mode(SaveMode.Overwrite).parquet(errPath)
+      val row = spark.read.parquet(path)
+        .agg(count(lit(1)).as("span_count"), sum(length(col("text"))).as("char_count"),
+          count_distinct(col("doc_id")).as("n_docs"))
+        .head()
+      val errorCount = spark.read.parquet(errPath).count()
+      BucketManifest(b,
+        row.getAs[Long]("n_docs"), row.getAs[Long]("span_count"),
+        Option(row.getAs[java.lang.Long]("char_count")).map(_.toLong).getOrElse(0L),
+        errorCount)
+    } finally results.unpersist()
   }
 
   /** One bucket's docs as a pruned view over a SHARED corpus DataFrame:

@@ -80,10 +80,16 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     val oneShot = Extract.spans(docs).toDF()
     assert(out.count() == oneShot.count())
     assert(out.except(oneShot).isEmpty && oneShot.except(out).isEmpty)
-    // manifests carry consistent lineage metrics
+    // manifests carry consistent lineage metrics, incl. conversion errors
     val manifests = Checkpoint.readManifests(spark, dir)
     assert(manifests.map(_.spanCount).sum == oneShot.count())
     assert(manifests.map(_.nDocs).sum == 30)
+    val ss = spark; import ss.implicits._
+    val expectedErrors = Extract.run(docs).map(_.errors.length.toLong)
+      .reduce(_ + _)
+    assert(manifests.map(_.errorCount).sum == expectedErrors)
+    val errRows = spark.read.parquet((0 until 8).map(b => s"$dir/errors/bucket=$b"): _*)
+    assert(errRows.count() == expectedErrors)
   }
 
   test("checkpoint per-bucket reads are partition-pruned (no full rescan)") {
