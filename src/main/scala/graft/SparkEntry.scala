@@ -76,6 +76,45 @@ object SparkEntry {
         .select(col("doc_id"), length(col("xml")).as("n_chars"),
           sha2(col("xml"), 256).as("xml_sha"))
     }),
+    "x_toc_match" -> ((s, dir) => {
+      // TOC<->body matcher (2-pass exact+fuzzy, sequential cursor) run
+      // DISTRIBUTED per doc; reference parity is MatcherSpec's golden gate
+      import s.implicits._
+      SyntheticCorpus.docsForSfDir(s, dir).mapPartitions(_.flatMap { d =>
+        val lines = d.spans.sortBy(_.offset).map(_.text).toIndexedSeq
+        val parsed = graft.parse.PageParser.parseDocument(lines)
+        val headings = parsed.pages.flatMap(_.elements)
+          .collect { case h: graft.model.Heading => h }
+          .zipWithIndex.map { case (h, i) =>
+            graft.matching.TocMatcher.BodyHeading(h.text, h.level, i + 1)
+          }
+        graft.matching.TocMatcher.matchTocToBody(parsed.tocEntries, headings).map { m =>
+          (d.doc_id, m.tocEntry.number, m.tocEntry.text, m.matchType.toString,
+            math.rint(m.similarity * 10000) / 10000, m.lineNumber)
+        }
+      }).toDF("doc_id", "toc_number", "toc_text", "match_type", "similarity", "line")
+    }),
+    "x_norm_rules" -> ((s, dir) => {
+      // heading normalization rules derived from the distributed matches.
+      // The generator's matched headings are already well-formed, so this
+      // query DETERMINISTICALLY demotes every other heading to level 0
+      // (plain text) — recreating the unmarked-heading case the rules
+      // exist to fix (ADD_MARKER); reference parity is NormRulesSpec.
+      import s.implicits._
+      SyntheticCorpus.docsForSfDir(s, dir).mapPartitions(_.flatMap { d =>
+        val lines = d.spans.sortBy(_.offset).map(_.text).toIndexedSeq
+        val parsed = graft.parse.PageParser.parseDocument(lines)
+        val headings = parsed.pages.flatMap(_.elements)
+          .collect { case h: graft.model.Heading => h }
+          .zipWithIndex.map { case (h, i) =>
+            graft.matching.TocMatcher.BodyHeading(
+              h.text, if (i % 2 == 0) 0 else h.level, i + 1)
+          }
+        val matches = graft.matching.TocMatcher.matchTocToBody(parsed.tocEntries, headings)
+        graft.matching.NormalizationRules.generateRules(matches).map(r =>
+          (d.doc_id, r.original, r.normalized, r.lineNumber, r.action.toString))
+      }).toDF("doc_id", "original", "normalized", "line", "action")
+    }),
     "x_grouped_xml" -> ((s, dir) => {
       // the --group-pages output path distributed; docs the reference
       // itself rejects (empty page number, >50% page loss) are quarantined

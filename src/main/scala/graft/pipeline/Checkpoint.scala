@@ -159,14 +159,21 @@ object Checkpoint {
 
     if (parallelism <= 1) remaining.map(one).toVector
     else {
+      // bounded batches with an await-ALL barrier per batch: on a failure
+      // no bucket task outlives this call, so a caller's immediate resume
+      // can never race an in-flight writer on the same bucket paths (the
+      // crash-injection spec exercises exactly that).
       val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
-      implicit val ec: scala.concurrent.ExecutionContext =
-        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
       try {
-        val futures = remaining.map(b => scala.concurrent.Future(one(b)))
-        scala.concurrent.Await.result(
-          scala.concurrent.Future.sequence(futures),
-          scala.concurrent.duration.Duration.Inf).toVector
+        remaining.grouped(parallelism).flatMap { batch =>
+          val futures = batch.map(b => scala.concurrent.Future(one(b))(ec))
+          val results = futures.map(f =>
+            scala.util.Try(scala.concurrent.Await.result(f,
+              scala.concurrent.duration.Duration.Inf)))
+          results.collectFirst { case scala.util.Failure(e) => throw e }
+          results.collect { case scala.util.Success(m) => m }
+        }.toVector
       } finally pool.shutdown()
     }
   }
