@@ -41,6 +41,42 @@ object Sections {
   def normalizeForMatching(text: String): String =
     graft.text.Py.strip(wsRun.matcher(text).replaceAll(" "))
 
+  /** HeaderLevelConfig (models.py:228-284): CLI keyword->level mapping
+    * for section extraction (e.g. level1=("chapter"), level2=("episode",
+    * "column")). When ANY level is configured, keyword extraction fully
+    * REPLACES the fallback patterns (section.py:121-123,169-171). */
+  final case class HeaderLevelConfig(
+      level1: Vector[String] = Vector.empty,
+      level2: Vector[String] = Vector.empty,
+      level3: Vector[String] = Vector.empty,
+      level4: Vector[String] = Vector.empty,
+      level5: Vector[String] = Vector.empty) {
+    def keywordsForLevel(level: Int): Vector[String] = level match {
+      case 1 => level1; case 2 => level2; case 3 => level3
+      case 4 => level4; case 5 => level5; case _ => Vector.empty
+    }
+    def hasAnyConfig: Boolean =
+      level1.nonEmpty || level2.nonEmpty || level3.nonEmpty ||
+        level4.nonEmpty || level5.nonEmpty
+  }
+
+  /** _extract_number_by_keyword (section.py:69-95): "Keyword N" with
+    * leading zeros stripped ("Episode 07" -> "7"; all-zero -> "0"). */
+  def extractNumberByKeyword(text: String, config: HeaderLevelConfig): Option[String] = {
+    if (!config.hasAnyConfig) return None
+    (1 to 5).iterator.flatMap { level =>
+      config.keywordsForLevel(level).iterator.flatMap { keyword =>
+        val p = Pattern.compile("^" + Pattern.quote(keyword) + "\\s*([0-9]+)",
+          Pattern.CASE_INSENSITIVE | U)
+        val m = p.matcher(text)
+        if (m.lookingAt()) {
+          val stripped = m.group(1).dropWhile(_ == '0')
+          Some(if (stripped.isEmpty) "0" else stripped)
+        } else None
+      }
+    }.nextOption()
+  }
+
   private val directSectionP = Pattern.compile("^([0-9]+(?:\\.[0-9]+)+)\\s+", U)
   private val chapterNumP = Pattern.compile("^([0-9]+)\\s+(?![/0-9])", U)
   private val jpChapterP = Pattern.compile("^第([0-9]+)章")
@@ -52,10 +88,16 @@ object Sections {
   private val newSubsectionP =
     Pattern.compile("^Subsection\\s+([0-9]+\\.[0-9]+\\.[0-9]+)", Pattern.CASE_INSENSITIVE | U)
 
-  /** extract_section_from_heading fallback chain (section.py:150-196). */
-  def extractSectionFromText(textIn: String): Option[String] = {
+  /** extract_section_from_heading (section.py:150-196): keyword config,
+    * when present, replaces the fallback chain entirely. */
+  def extractSectionFromText(textIn: String,
+      config: Option[HeaderLevelConfig] = None): Option[String] = {
     if (textIn == null || textIn.isEmpty) return None
     val text = normalizeForMatching(textIn)
+    config.filter(_.hasAnyConfig) match {
+      case Some(c) => return extractNumberByKeyword(text, c)
+      case None    => ()
+    }
     val m1 = directSectionP.matcher(text)
     if (m1.lookingAt()) return Some(m1.group(1))
     val m2 = chapterNumP.matcher(text)
@@ -68,8 +110,10 @@ object Sections {
   }
 
   /** _extract_section_from_page new-format chain (assignment.py:177-230):
-    * Chapter N / Section N.N / Subsection N.N.N first, then fallback. */
-  def extractSectionFromHeading(headingText: String): Option[String] = {
+    * Chapter N / Section N.N / Subsection N.N.N first (regardless of
+    * config), then the legacy (config-aware) fallback. */
+  def extractSectionFromHeading(headingText: String,
+      config: Option[HeaderLevelConfig] = None): Option[String] = {
     if (headingText == null) return None
     val t = graft.text.Py.strip(headingText)
     val mc = newChapterP.matcher(t)
@@ -78,7 +122,7 @@ object Sections {
     if (ms.lookingAt()) return Some(ms.group(1))
     val mss = newSubsectionP.matcher(t)
     if (mss.lookingAt()) return Some(mss.group(1))
-    extractSectionFromText(t)
+    extractSectionFromText(t, config)
   }
 
   /** _find_toc_key (hierarchy.py:22-44): zero-pad fallback

@@ -115,24 +115,26 @@ object GroupedXml {
   /** _extract_section_from_page (assignment.py:177-230): FIRST content
     * heading only (new-format Chapter/Section/Subsection regexes, then the
     * legacy fallback), then pageMetadata. */
-  private def extractSectionFromPage(page: El): Option[String] = {
+  private def extractSectionFromPage(page: El,
+      config: Option[Sections.HeaderLevelConfig]): Option[String] = {
     for (content <- findFirst(page, "content"); heading <- findFirst(content, "heading")) {
       val headingText = Py.strip(itertext(heading))
-      val sec = Sections.extractSectionFromHeading(headingText)
+      val sec = Sections.extractSectionFromHeading(headingText, config)
       if (sec.isDefined) return sec
     }
     findFirst(page, "pageMetadata").flatMap { md =>
-      extractSectionFromPageMetadata(itertext(md))
+      extractSectionFromPageMetadata(itertext(md), config)
     }
   }
 
   /** extract_section_from_page_metadata (section.py:101-148), no-config
     * fallback chain (the live CLI default). */
-  private def extractSectionFromPageMetadata(metadataIn: String): Option[String] = {
+  private def extractSectionFromPageMetadata(metadataIn: String,
+      config: Option[Sections.HeaderLevelConfig]): Option[String] = {
     if (metadataIn == null || metadataIn.isEmpty) return None
     val metadata = Sections.normalizeForMatching(metadataIn)
     if (metadata.contains("<emphasis>")) return None // front-matter skip
-    Sections.extractSectionFromText(metadata)
+    Sections.extractSectionFromText(metadata, config)
   }
 
   // ---- section.py is_chapter_title_page -------------------------------------
@@ -295,7 +297,8 @@ object GroupedXml {
   // ---- the top-level transform (assignment.py:21-135) -----------------------
 
   /** group_pages_by_toc over an element tree (post comment-dropping). */
-  def groupPagesByToc(root: El): El = {
+  def groupPagesByToc(root: El,
+      config: Option[Sections.HeaderLevelConfig] = None): El = {
     val metadata = findFirst(root, "metadata")
     val tocElement = findFirst(root, "toc")
     val tocEntries = tocElement.map(parseToc).getOrElse(Vector.empty)
@@ -330,7 +333,7 @@ object GroupedXml {
       val assignments = mutable.LinkedHashMap.empty[String, mutable.ArrayBuffer[El]]
       var current: Option[String] = None
       contentPages.foreach { page =>
-        val sectionNum = extractSectionFromPage(page)
+        val sectionNum = extractSectionFromPage(page, config)
         sectionNum match {
           case Some(s) if tocLookup.contains(s) => current = Some(s)
           case _ if current.isEmpty =>
@@ -350,9 +353,10 @@ object GroupedXml {
 
   /** Full grouped sink for one doc: build_xml_with_errors -> (parse
     * round-trip: comments dropped) -> group_pages_by_toc -> serialize. */
-  def buildGroupedXml(doc: InputDoc, runningHeadThreshold: Double = 0.5): String = {
+  def buildGroupedXml(doc: InputDoc, runningHeadThreshold: Double = 0.5,
+      config: Option[Sections.HeaderLevelConfig] = None): String = {
     val root = dropComments(XmlBuilder.buildBookTree(doc, runningHeadThreshold))
-    val grouped = groupPagesByToc(root)
+    val grouped = groupPagesByToc(root, config)
     "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" + XmlBuilder.fragment(grouped)
   }
 

@@ -46,6 +46,20 @@ class GroupedXmlSpec extends AnyFunSuite {
     }
   }
 
+  test("header-level keyword config changes assignment exactly like the reference") {
+    // Episode 01/02 headings vs bare-number TOC entries: only the config
+    // path (keyword match + lstrip('0')) can resolve "Episode 02" -> "2";
+    // the fallback extracts "02", which misses the TOC — both goldens
+    // produced by RUNNING convert_book with/without HeaderLevelConfig.
+    val doc = Fixtures.mdToDoc("/fixtures/episode_book.md", "episode_book")
+    val cfg = Some(graft.group.Sections.HeaderLevelConfig(level1 = Vector("episode")))
+    val withCfg = GroupedXml.buildGroupedXml(doc, config = cfg)
+    val noCfg = GroupedXml.buildGroupedXml(doc)
+    assert(withCfg == Fixtures.resourceLines("/fixtures/episode_book.cfg.grouped.xml").mkString("\n"))
+    assert(noCfg == Fixtures.resourceLines("/fixtures/episode_book.nocfg.grouped.xml").mkString("\n"))
+    assert(withCfg != noCfg) // the config observably moves page 5 to chapter 2
+  }
+
   test("grouped output never contains page elements; page comments preserved") {
     val doc = Fixtures.mdToDoc("/fixtures/synth/doc_0.md", "doc_0")
     val xml = GroupedXml.buildGroupedXml(doc)
