@@ -118,10 +118,24 @@ case class CosineSimExpr(left: Expression, right: Expression) extends BinaryExpr
       s"cosine_sim expects (array<float>, array<float>), got " +
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
-  override def nullSafeEval(a: Any, b: Any): Any =
-    VectorKernels.cosineSim(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def nullable: Boolean = true
+  // mismatched dims -> null (a corrupt/truncated embedding yields a
+  // filtered row, like the old zip_with form's null-padded dot — never
+  // an out-of-bounds read of adjacent unsafe-buffer bytes)
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) null else VectorKernels.cosineSim(x, y)
+  }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorKernels.cosineSim($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.VectorKernels.cosineSim($a, $b);
+         |}
+       """.stripMargin)
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression) =
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "cosine_sim"

@@ -58,22 +58,26 @@ object Sections {
     def hasAnyConfig: Boolean =
       level1.nonEmpty || level2.nonEmpty || level3.nonEmpty ||
         level4.nonEmpty || level5.nonEmpty
+    // the config is fixed per run but consulted per page — keyword
+    // patterns compile once here, not per extraction (lazy val is
+    // recomputed after task deserialization, which is per-executor)
+    @transient lazy val compiledPatterns: Vector[Pattern] =
+      (1 to 5).toVector.flatMap(keywordsForLevel).map(keyword =>
+        Pattern.compile("^" + Pattern.quote(keyword) + "\\s*([0-9]+)",
+          Pattern.CASE_INSENSITIVE | U))
   }
 
   /** _extract_number_by_keyword (section.py:69-95): "Keyword N" with
-    * leading zeros stripped ("Episode 07" -> "7"; all-zero -> "0"). */
+    * leading zeros stripped ("Episode 07" -> "7"; all-zero -> "0").
+    * Search order is level 1..5 then keyword order, like the reference. */
   def extractNumberByKeyword(text: String, config: HeaderLevelConfig): Option[String] = {
     if (!config.hasAnyConfig) return None
-    (1 to 5).iterator.flatMap { level =>
-      config.keywordsForLevel(level).iterator.flatMap { keyword =>
-        val p = Pattern.compile("^" + Pattern.quote(keyword) + "\\s*([0-9]+)",
-          Pattern.CASE_INSENSITIVE | U)
-        val m = p.matcher(text)
-        if (m.lookingAt()) {
-          val stripped = m.group(1).dropWhile(_ == '0')
-          Some(if (stripped.isEmpty) "0" else stripped)
-        } else None
-      }
+    config.compiledPatterns.iterator.flatMap { p =>
+      val m = p.matcher(text)
+      if (m.lookingAt()) {
+        val stripped = m.group(1).dropWhile(_ == '0')
+        Some(if (stripped.isEmpty) "0" else stripped)
+      } else None
     }.nextOption()
   }
 

@@ -99,7 +99,10 @@ object Checkpoint {
       val spans = results.flatMap(r => r.spans)
       val path = s"$outDir/bucket=$b"
       spans.write.mode(SaveMode.Overwrite).parquet(path)
-      val errPath = s"$outDir/errors/bucket=$b"
+      // underscore prefix: partition discovery over $outDir must keep
+      // seeing ONE consistent bucket=N layout (spark.read.parquet(outDir)
+      // is the downstream contract); _errors is metadata, like _commits
+      val errPath = s"$outDir/_errors/bucket=$b"
       results.flatMap(r => r.errors.map(e =>
           (r.doc_id, e.error_type, e.message, e.page_number, e.line_number)))
         .toDF("doc_id", "error_type", "message", "page_number", "line_number")
@@ -142,12 +145,28 @@ object Checkpoint {
     *
     * `failAtBucket` injects a crash AFTER processing-but-before-commit of
     * the given bucket (test hook for the kill/rerun invariant). */
+  /** Bucket count present in a bucket(doc_id)-partitioned layout
+    * (max bucket dir value + 1). The LAYOUT is ground truth: trusting a
+    * caller's count against a table written with more buckets would
+    * silently skip data, so runPartitioned always derives from here. */
+  def detectBuckets(spark: SparkSession, path: String): Option[Int] = {
+    val p = new Path(path)
+    val f = fs(spark, path)
+    if (!f.exists(p)) return None
+    val vals = f.listStatus(p).toVector.collect {
+      case s if s.isDirectory && s.getPath.getName.startsWith("bucket=") =>
+        s.getPath.getName.stripPrefix("bucket=").toInt
+    }
+    if (vals.isEmpty) None else Some(vals.max + 1)
+  }
+
   def runPartitioned(spark: SparkSession, corpusPath: String, outDir: String,
       cfg: TableIO.Cfg = TableIO.Cfg(), runningHeadThreshold: Double = 0.5,
       failAtBucket: Int = -1, parallelism: Int = 1): Vector[BucketManifest] = {
     val done = committedBuckets(spark, outDir)
     val corpus = spark.read.format(cfg.format).load(corpusPath)
-    val remaining = (0 until cfg.nBuckets).filterNot(done.contains)
+    val nBuckets = detectBuckets(spark, corpusPath).getOrElse(cfg.nBuckets)
+    val remaining = (0 until nBuckets).filterNot(done.contains)
 
     def one(b: Int): BucketManifest = {
       val m = processBucket(bucketDocs(corpus, b), b, outDir, runningHeadThreshold)

@@ -16,8 +16,9 @@ import graft.parse.PageParser
   * src/book_converter/transformer.py:307-338). The boilerplate aggregation
   * is per-document, so it stays in-row: NO shuffle anywhere in this path.
   * At 100 TB this scales linearly with input splits; docs are bounded
-  * (books, MBs) so no in-row skew. Cross-doc balance is handled by the
-  * salted repartition helper in [[Skew]].
+  * (books, MBs) so no in-row skew. Cross-doc balance comes from
+  * over-partitioning + AQE (see [[Skew]] for why key-derived salting is
+  * deliberately not used).
   */
 object Extract {
 

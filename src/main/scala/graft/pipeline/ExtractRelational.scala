@@ -171,6 +171,13 @@ object ExtractRelational {
     spans.result()
   }
 
+  // Dataset caches are held strongly by the CacheManager (the context
+  // cleaner does NOT reap them), so a persist with no unpersist path
+  // would leak one input-sized cache per spans() call in a long-lived
+  // session (e.g. Bench). spans() keeps at most ONE live cache: each
+  // call releases the previous invocation's.
+  @volatile private var lastPersisted: Option[Dataset[ParsedDoc]] = None
+
   /** Full relational pipeline. `parsed` feeds BOTH the running-head
     * aggregation and the emission, so it is persisted (serialized,
     * spills to disk) — without it the dominant parse stage executes
@@ -182,9 +189,14 @@ object ExtractRelational {
       persistParsed: Boolean = true): Dataset[OutSpan] = {
     val parsed0 = parse(docs)
     val parsed =
-      if (persistParsed)
-        parsed0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-      else parsed0
+      if (persistParsed) {
+        val p = parsed0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        synchronized {
+          lastPersisted.foreach(_.unpersist(blocking = false))
+          lastPersisted = Some(p)
+        }
+        p
+      } else parsed0
     emit(parsed, runningHeads(parsed, thresholdRatio))
   }
 }

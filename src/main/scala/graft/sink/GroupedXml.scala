@@ -141,19 +141,21 @@ object GroupedXml {
 
   private val chapterTitleP = java.util.regex.Pattern.compile("第[0-9]+章")
 
-  /** is_chapter_title_page (section.py:199-234): 第N章 in pageMetadata
-    * (unless the SERIALIZED metadata contains literal "<emphasis>") or in
-    * any content heading. `search`, not `match`. */
+  /** is_chapter_title_page (section.py:199-234): 第N章 at the START of
+    * pageMetadata text (unless the SERIALIZED metadata contains literal
+    * "<emphasis>") or of any content heading — the reference pattern is
+    * re.search(r"^第\d+章"), which without MULTILINE only matches at
+    * position 0, i.e. lookingAt. */
   private def isChapterTitlePage(page: El): Boolean = {
     findFirst(page, "pageMetadata").foreach { md =>
       if (!XmlBuilder.fragment(md).contains("<emphasis>")) {
-        if (chapterTitleP.matcher(itertext(md)).find()) return true
+        if (chapterTitleP.matcher(itertext(md)).lookingAt()) return true
       }
     }
     findFirst(page, "content").foreach { content =>
       iterDescendants(content, "heading").foreach { h =>
         val text = if (h.text.exists(_.nonEmpty) || h.children.nonEmpty) itertext(h) else ""
-        if (chapterTitleP.matcher(text).find()) return true
+        if (chapterTitleP.matcher(text).lookingAt()) return true
       }
     }
     false

@@ -60,6 +60,15 @@ class GroupedXmlSpec extends AnyFunSuite {
     assert(withCfg != noCfg) // the config observably moves page 5 to chapter 2
   }
 
+  test("第N章 mid-text does NOT mark a chapter-title page (anchored like re.search('^...'))") {
+    // reference golden has NO type attribute: the heading "復習:第1章より"
+    // contains 第1章 but not at position 0
+    check("/fixtures/midchapter_book.md", "/fixtures/midchapter_book.grouped.xml",
+      "midchapter_book")
+    val xml = GroupedXml.buildGroupedXml(Fixtures.mdToDoc("/fixtures/midchapter_book.md", "m"))
+    assert(!xml.contains("chapter-title"))
+  }
+
   test("grouped output never contains page elements; page comments preserved") {
     val doc = Fixtures.mdToDoc("/fixtures/synth/doc_0.md", "doc_0")
     val xml = GroupedXml.buildGroupedXml(doc)

@@ -88,7 +88,7 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     val expectedErrors = Extract.run(docs).map(_.errors.length.toLong)
       .reduce(_ + _)
     assert(manifests.map(_.errorCount).sum == expectedErrors)
-    val errRows = spark.read.parquet((0 until 8).map(b => s"$dir/errors/bucket=$b"): _*)
+    val errRows = spark.read.parquet((0 until 8).map(b => s"$dir/_errors/bucket=$b"): _*)
     assert(errRows.count() == expectedErrors)
   }
 
@@ -131,6 +131,23 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.except(b).isEmpty && b.except(a).isEmpty)
     // manifests agree bucket-for-bucket
     assert(Checkpoint.readManifests(spark, seqDir) == Checkpoint.readManifests(spark, parDir))
+  }
+
+  test("bucket count derives from the layout (a wrong caller count cannot drop data)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val corpusDir = java.nio.file.Files.createTempDirectory("graft_corpus").toString
+    val docs = corpus(40)
+    graft.io.TableIO.writeDocs(docs, corpusDir, graft.io.TableIO.Cfg(nBuckets = 16))
+    // caller claims 4 buckets; the layout has 16 — all docs must still be processed
+    val manifests = Checkpoint.runPartitioned(spark, corpusDir, dir,
+      graft.io.TableIO.Cfg(nBuckets = 4))
+    assert(manifests.map(_.nDocs).sum == 40)
+    assert(Checkpoint.detectBuckets(spark, corpusDir).exists(_ > 4))
+    // downstream contract: the output root reads as ONE partitioned table
+    // (_errors/_commits are underscore-ignored by partition discovery)
+    val all = spark.read.parquet(dir)
+    assert(all.columns.contains("bucket"))
+    assert(all.select("doc_id").distinct().count() == 40)
   }
 
   test("media plumbing: stub decode yields typed metadata for every figure") {
