@@ -23,8 +23,17 @@ import graft.parse.PageParser
 object Extract {
 
   /** Pure per-document core — unit-testable without Spark. */
-  def extractDoc(doc: InputDoc, runningHeadThreshold: Double = 0.5): DocResult = {
-    val lines = doc.spans.sortBy(_.offset).map(_.text).toIndexedSeq
+  def extractDoc(doc: InputDoc, runningHeadThreshold: Double = 0.5): DocResult =
+    extractLines(doc.doc_id, doc.spans.sortBy(_.offset).map(_.text).toIndexedSeq,
+      runningHeadThreshold)
+
+  /** Core over the minimal inputs extraction actually consumes: the
+    * document's lines in offset order. The scan path feeds this from a
+    * NESTED-PRUNED read (only spans.text + spans.offset reach the
+    * parquet scan — kind/media_ref never leave the file; media refs are
+    * re-derived from the figure-comment lines like the reference). */
+  def extractLines(docId: String, lines: IndexedSeq[String],
+      runningHeadThreshold: Double = 0.5): DocResult = {
     val parsed = PageParser.parseDocument(lines)
 
     // convert_book (cli.py:137-196): analyze all headings across pages,
@@ -43,7 +52,7 @@ object Extract {
     var charCount = 0L
     def emit(kind: String, text: String, mediaRef: String, pageNo: String, level: Int,
         readAloud: Boolean, attrs: String): Unit = {
-      spans += OutSpan(doc.doc_id, offset, kind, text, mediaRef, pageNo, level, readAloud, attrs)
+      spans += OutSpan(docId, offset, kind, text, mediaRef, pageNo, level, readAloud, attrs)
       offset += 1
       charCount += text.length
     }
@@ -83,7 +92,7 @@ object Extract {
     }
 
     val out = spans.result()
-    DocResult(doc.doc_id, out, parsed.errors, parsed.pages.length, out.length, charCount)
+    DocResult(docId, out, parsed.errors, parsed.pages.length, out.length, charCount)
   }
 
   /** Distributed entry: one pass, no shuffle. */

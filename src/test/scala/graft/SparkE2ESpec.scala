@@ -103,10 +103,13 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     // carries a PartitionFilter on `bucket` over one shared file index,
     // not a recomputed hash filter over the full input
     val stagedDf = spark.read.parquet(staged)
-    val perBucket = Checkpoint.bucketDocs(stagedDf, 2)
+    val perBucket = Checkpoint.bucketLines(stagedDf, 2)
     val plan = perBucket.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("bucket"), plan)
     assert(!plan.contains("xxhash64"), s"bucket filter must prune, not rescan:\n$plan")
+    // nested-schema pruning: the scan reads only spans.text + spans.offset
+    assert(plan.contains("ReadSchema") && !plan.contains("media_ref"),
+      s"scan must drop kind/media_ref:\n$plan")
     // re-running over the staged layout is a no-op (all buckets committed)
     assert(Checkpoint.runPartitioned(spark, staged, dir,
       graft.io.TableIO.Cfg(nBuckets = 4)).isEmpty)
