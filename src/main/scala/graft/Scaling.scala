@@ -61,11 +61,24 @@ object Scaling {
     for (pass <- 1 to passes; cores <- coreLevels) {
       val s = session(cores)
       import s.implicits._
-      val docs =
-        if (fromParquet) s.read.parquet(corpusPath).as[graft.model.InputDoc]
-        else graft.io.SyntheticCorpus.docs(s, nDocs, partitions = partitions)
+      import org.apache.spark.sql.functions.col
       val t0 = System.nanoTime()
-      val n = graft.pipeline.Extract.run(docs).count()
+      val n =
+        if (fromParquet) {
+          // the production scan shape: nested-pruned read (spans.text +
+          // spans.offset only), same projection Checkpoint.bucketLines uses
+          s.read.parquet(corpusPath)
+            .select(col("doc_id"), col("spans.text").as("texts"),
+              col("spans.offset").as("offsets"))
+            .as[(String, Array[String], Array[Int])]
+            .mapPartitions(_.map { case (id, texts, offsets) =>
+              graft.pipeline.Extract.extractLines(id,
+                offsets.zip(texts).sortBy(_._1).map(_._2).toIndexedSeq)
+            }).count()
+        } else {
+          graft.pipeline.Extract.run(
+            graft.io.SyntheticCorpus.docs(s, nDocs, partitions = partitions)).count()
+        }
       assert(n == nDocs)
       val sec = (System.nanoTime() - t0) / 1e9
       if (sec < best(cores)) best(cores) = sec
