@@ -163,6 +163,8 @@ object GraftColumns {
   def srpBand(vec: Column, planeOffset: Int, nPlanes: Int, seed: Long = 42L): Column =
     GraftExprAccess.column(SrpBandExpr(GraftExprAccess.expression(vec),
       planeOffset, nPlanes, seed))
+  def simhash64(text: Column): Column =
+    GraftExprAccess.column(Simhash64Expr(GraftExprAccess.expression(text)))
 }
 
 /** SparkSessionExtensions injector:

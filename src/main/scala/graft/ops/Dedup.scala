@@ -135,9 +135,10 @@ object Dedup {
     * at least one exact block — pigeonhole), then exact popcount check. */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val spark = docs.sparkSession
-    val sim = udf((s: String) => simhash64(Option(s).map(_.trim.split("\\s+").toSeq).getOrElse(Seq())))
-    val withSim = docs.select(col(idCol).as("doc_id"), sim(col(textCol)).as("simhash"))
+    // codegen Catalyst expression (same tokenization as the old UDF);
+    // the map stage over the full corpus stays in whole-stage codegen
+    val withSim = docs.select(col(idCol).as("doc_id"),
+      graft.functions.GraftColumns.simhash64(col(textCol)).as("simhash"))
     val blocks = withSim.select(col("doc_id"), col("simhash"),
       explode(sequence(lit(0), lit(3))).as("blk"))
       .withColumn("key", expr("(simhash >> (blk * 16)) & 65535"))

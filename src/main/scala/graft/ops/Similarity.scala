@@ -173,8 +173,31 @@ object Similarity {
       }.sortBy(x => (x._1, x._2)).take(nCells).map(_._2)
     })
 
-    val assigned = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
-      nearestCells(1)(col(vecCol))(0).as("cell"))
+    // corpus-side cell assignment is the CORPUS-SIZED stage: primitive
+    // double loops in mapPartitions (no interpreted UDF in the hot path);
+    // sequential strict-< scan keeps the lowest index on distance ties,
+    // matching the (distance, index) sort above. The query side stays a
+    // UDF — it is |Q| rows by contract.
+    val assigned = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+        col(vecCol).as("cvec"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cents = bcCentroids.value
+        it.map { case (id, v) =>
+          var bestI = 0
+          var bestD = Double.MaxValue
+          var i = 0
+          while (i < cents.length) {
+            val c = cents(i)
+            var d = 0.0
+            var j = 0
+            while (j < v.length) { val t = v(j) - c(j); d += t * t; j += 1 }
+            if (d < bestD) { bestD = d; bestI = i }
+            i += 1
+          }
+          (id, v, bestI)
+        }
+      }.toDF("neighbor_id", "cvec", "cell")
     val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
       explode(nearestCells(nProbe)(col(vecCol))).as("cell"))
     val scored = assigned.join(broadcast(probes), Seq("cell"))
