@@ -56,6 +56,17 @@ class AnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     // IVF sims must be true cosines: every returned pair's sim matches brute when shared
   }
 
+  test("IVF quantizer trained on a forced 20% sample keeps recall@5 >= 0.4") {
+    // the 100-TB path: KMeans sees ~maxTrain vectors, never the corpus
+    val queries = emb.where(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sampled = Similarity.ivfTopK(emb, queries, k = 5, maxTrain = 100)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect sampled).size.toDouble / brute.size
+    assert(recall >= 0.4, s"sampled-quantizer IVF recall $recall")
+  }
+
   test("SRP-LSH recall@5 vs brute force >= 0.4 with multiprobe at 6 planes") {
     val queries = emb.where(col("vec_id") < 10)
     val brute = Similarity.bruteForceTopK(emb, queries, k = 5)
