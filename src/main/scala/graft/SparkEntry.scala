@@ -76,6 +76,27 @@ object SparkEntry {
         .select(col("doc_id"), length(col("xml")).as("n_chars"),
           sha2(col("xml"), 256).as("xml_sha"))
     }),
+    "x_ensemble_vote" -> ((s, dir) => {
+      // legacy whole-page similarity vote + fallback chain, distributed:
+      // per doc, three synthetic engine texts (one degraded) -> winner
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val base = text.take(240)
+          val degraded = base.replaceAll("[aeiouあい]", "")
+          // degrade a different engine per doc so winners vary
+          val engines = Vector("yomitoku", "paddleocr", "easyocr")
+          val bad = (id % 3).toInt
+          val results = engines.zipWithIndex.map { case (e, i) =>
+            e -> (if (i == bad) degraded else base)
+          }
+          val (winText, winEngine, votes) = graft.vote.Ensemble.voteBestResult(results)
+          val (fbText, fbEngine) = graft.vote.Ensemble.ocrWithFallback(results)
+          (id, winEngine, votes.getOrElse(winEngine, 0), winText.length,
+            fbEngine, fbText == winText)
+        }).toDF("doc_id", "vote_engine", "votes", "len", "fallback_engine", "agree")
+    }),
     "x_toc_match" -> ((s, dir) => {
       // TOC<->body matcher (2-pass exact+fuzzy, sequential cursor) run
       // DISTRIBUTED per doc; reference parity is MatcherSpec's golden gate
