@@ -65,16 +65,10 @@ object Scaling {
       val t0 = System.nanoTime()
       val n =
         if (fromParquet) {
-          // the production scan shape: nested-pruned read (spans.text +
-          // spans.offset only), same projection Checkpoint.bucketLines uses
-          s.read.parquet(corpusPath)
-            .select(col("doc_id"), col("spans.text").as("texts"),
-              col("spans.offset").as("offsets"))
-            .as[(String, Array[String], Array[Int])]
-            .mapPartitions(_.map { case (id, texts, offsets) =>
-              graft.pipeline.Extract.extractLines(id,
-                offsets.zip(texts).sortBy(_._1).map(_._2).toIndexedSeq)
-            }).count()
+          // the production scan shape: nested-pruned read + extract,
+          // via the same helpers Checkpoint uses
+          graft.pipeline.Extract.runLines(
+            graft.io.TableIO.pruneLines(s.read.parquet(corpusPath))).count()
         } else {
           graft.pipeline.Extract.run(
             graft.io.SyntheticCorpus.docs(s, nDocs, partitions = partitions)).count()

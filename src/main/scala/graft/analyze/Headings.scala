@@ -70,11 +70,11 @@ object Headings {
 
   /** Static exclusion patterns in priority order (config.py:12-61). */
   val ExclusionPatterns: Vector[(String, Pattern)] = Vector(
-    "page-number" -> Pattern.compile(".*[―—]\\s*[0-9]+\\s*/\\s*[0-9]+$", Pattern.UNICODE_CHARACTER_CLASS),
+    "page-number" -> Pattern.compile(".*[―—]\\s*\\d+\\s*/\\s*\\d+$", Pattern.UNICODE_CHARACTER_CLASS),
     "decoration" -> Pattern.compile("^[◆◇■□●○▲△]+$"),
-    "section-label" -> Pattern.compile("^Section\\s+[0-9]+\\.[0-9]+$", Pattern.UNICODE_CHARACTER_CLASS),
+    "section-label" -> Pattern.compile("^Section\\s+\\d+\\.\\d+$", Pattern.UNICODE_CHARACTER_CLASS),
     "reference" -> Pattern.compile("^Webサイト$"),
-    "footnote" -> Pattern.compile("^注[0-9]+\\.[0-9]+")
+    "footnote" -> Pattern.compile("^注\\d+\\.\\d+")
   )
 
   /** match_exclusion_pattern (analyzer.py:154-181): first match wins

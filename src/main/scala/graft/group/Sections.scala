@@ -25,12 +25,12 @@ object Sections {
   }
 
   private val U = Pattern.UNICODE_CHARACTER_CLASS
-  private val sectionNumP = Pattern.compile("^[0-9]+(?:\\.[0-9]+)*$")
+  private val sectionNumP = Pattern.compile("^\\d+(?:\\.\\d+)*$", U)
 
   /** parse_section_number (section.py:13-39). */
   def parseSectionNumber(s: String): Option[SectionNumber] = {
     if (s == null || s.isEmpty || !sectionNumP.matcher(s).matches()) return None
-    val parts = s.split("\\.").map(_.toInt).toVector
+    val parts = s.split("\\.").map(graft.text.Py.toInt).toVector
     val level = math.min(parts.length, 3)
     Some(SectionNumber(s, parts, level))
   }
@@ -63,7 +63,7 @@ object Sections {
     // recomputed after task deserialization, which is per-executor)
     @transient lazy val compiledPatterns: Vector[Pattern] =
       (1 to 5).toVector.flatMap(keywordsForLevel).map(keyword =>
-        Pattern.compile("^" + Pattern.quote(keyword) + "\\s*([0-9]+)",
+        Pattern.compile("^" + Pattern.quote(keyword) + "\\s*(\\d+)",
           Pattern.CASE_INSENSITIVE | U))
   }
 
@@ -81,16 +81,16 @@ object Sections {
     }.nextOption()
   }
 
-  private val directSectionP = Pattern.compile("^([0-9]+(?:\\.[0-9]+)+)\\s+", U)
-  private val chapterNumP = Pattern.compile("^([0-9]+)\\s+(?![/0-9])", U)
-  private val jpChapterP = Pattern.compile("^第([0-9]+)章")
+  private val directSectionP = Pattern.compile("^(\\d+(?:\\.\\d+)+)\\s+", U)
+  private val chapterNumP = Pattern.compile("^(\\d+)\\s+(?![/\\d])", U)
+  private val jpChapterP = Pattern.compile("^第(\\d+)章", U)
   private val keywordNumP =
-    Pattern.compile("^(?:Section|Chapter|Episode|Part)\\s+([0-9]+(?:\\.[0-9]+)*)",
+    Pattern.compile("^(?:Section|Chapter|Episode|Part)\\s+(\\d+(?:\\.\\d+)*)",
       Pattern.CASE_INSENSITIVE | U)
-  private val newChapterP = Pattern.compile("^Chapter\\s+([0-9]+)", Pattern.CASE_INSENSITIVE | U)
-  private val newSectionP = Pattern.compile("^Section\\s+([0-9]+\\.[0-9]+)", Pattern.CASE_INSENSITIVE | U)
+  private val newChapterP = Pattern.compile("^Chapter\\s+(\\d+)", Pattern.CASE_INSENSITIVE | U)
+  private val newSectionP = Pattern.compile("^Section\\s+(\\d+\\.\\d+)", Pattern.CASE_INSENSITIVE | U)
   private val newSubsectionP =
-    Pattern.compile("^Subsection\\s+([0-9]+\\.[0-9]+\\.[0-9]+)", Pattern.CASE_INSENSITIVE | U)
+    Pattern.compile("^Subsection\\s+(\\d+\\.\\d+\\.\\d+)", Pattern.CASE_INSENSITIVE | U)
 
   /** extract_section_from_heading (section.py:150-196): keyword config,
     * when present, replaces the fallback chain entirely. */
@@ -177,8 +177,8 @@ object Sections {
 
   // ---- duplicate-heading detection (transformer_utils.py:13-77) ----------
 
-  private val chapterPrefixP = Pattern.compile("^[Cc][Hh][Aa][Pp][Tt][Ee][Rr]\\s+([0-9]+)\\s*", U)
-  private val sectionPrefixP = Pattern.compile("^[Ss][Ee][Cc][Tt][Ii][Oo][Nn]\\s+([0-9]+\\.[0-9]+)\\s*", U)
+  private val chapterPrefixP = Pattern.compile("^[Cc][Hh][Aa][Pp][Tt][Ee][Rr]\\s+(\\d+)\\s*", U)
+  private val sectionPrefixP = Pattern.compile("^[Ss][Ee][Cc][Tt][Ii][Oo][Nn]\\s+(\\d+\\.\\d+)\\s*", U)
 
   /** normalize_heading_for_comparison. */
   def normalizeHeadingForComparison(headingText: String): String = {

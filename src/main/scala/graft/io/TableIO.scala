@@ -25,6 +25,19 @@ object TableIO {
       .format(cfg.format)
       .save(path)
 
+  /** Project a corpus DataFrame down to what extraction consumes —
+    * (doc_id, spans.text, spans.offset) — so NESTED-SCHEMA PRUNING
+    * reaches the scan (ReadSchema drops kind/media_ref). Direct
+    * `spans.field` access is load-bearing here: wrapping the array in
+    * transform() blocks the pruning. Shared by Checkpoint and Scaling. */
+  def pruneLines(corpus: DataFrame): Dataset[(String, Array[String], Array[Int])] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    corpus
+      .select(col("doc_id"), col("spans.text").as("texts"), col("spans.offset").as("offsets"))
+      .as[(String, Array[String], Array[Int])]
+  }
+
   /** Read the corpus; `bucketFilter` prunes partitions at the source
     * (partition pruning — verified in the plan as PartitionFilters). */
   def readDocs(spark: SparkSession, path: String, cfg: Cfg = Cfg(),

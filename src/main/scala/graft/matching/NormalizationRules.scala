@@ -20,8 +20,8 @@ object NormalizationRules {
   final case class Rule(original: String, normalized: String, lineNumber: Int, action: Action)
 
   private val U = Pattern.UNICODE_CHARACTER_CLASS
-  private val numberLeadP = Pattern.compile("^[0-9]+(?:\\.[0-9]+)*\\s+", U)
-  private val numberLeadAnySepP = Pattern.compile("^[0-9]+(?:[.\\-・][0-9]+)*\\s+", U)
+  private val numberLeadP = Pattern.compile("^\\d+(?:\\.\\d+)*\\s+", U)
+  private val numberLeadAnySepP = Pattern.compile("^\\d+(?:[.\\-・]\\d+)*\\s+", U)
 
   /** _heading_level_from_number. */
   def headingLevelFromNumber(number: String): Int =

@@ -32,7 +32,7 @@ object TocMatcher {
   )
 
   private val U = Pattern.UNICODE_CHARACTER_CLASS
-  private val headingNumberP = Pattern.compile("^([0-9]+(?:\\.[0-9]+)*)\\s+", U)
+  private val headingNumberP = Pattern.compile("^(\\d+(?:\\.\\d+)*)\\s+", U)
 
   /** _extract_heading_number (heading_matcher.py:18-34). */
   def extractHeadingNumber(text: String): Option[String] = {

@@ -135,10 +135,12 @@ object Dedup {
     * at least one exact block — pigeonhole), then exact popcount check. */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    // codegen Catalyst expression (same tokenization as the old UDF);
-    // the map stage over the full corpus stays in whole-stage codegen
+    // codegen Catalyst expression; the map stage over the full corpus
+    // stays in whole-stage codegen. Null text hashes to 0L like the old
+    // UDF's empty-token path (null keys would silently drop those rows
+    // from the equi-join instead).
     val withSim = docs.select(col(idCol).as("doc_id"),
-      graft.functions.GraftColumns.simhash64(col(textCol)).as("simhash"))
+      coalesce(graft.functions.GraftColumns.simhash64(col(textCol)), lit(0L)).as("simhash"))
     val blocks = withSim.select(col("doc_id"), col("simhash"),
       explode(sequence(lit(0), lit(3))).as("blk"))
       .withColumn("key", expr("(simhash >> (blk * 16)) & 65535"))

@@ -142,7 +142,9 @@ object Similarity {
     * quantizer needs cluster geometry, not the full corpus) partitions
     * the corpus into nLists cells; a query scores only its nProbe
     * nearest cells. Returns the same schema as bruteForceTopK; recall
-    * depends on nProbe (benchmarked, not oracle-gated). */
+    * depends on nProbe (benchmarked, not oracle-gated).
+    * Ids must be NUMERIC (cast to long) — the same contract
+    * bruteForceTopK has. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5, nLists: Int = 16,
       nProbe: Int = 4, maxTrain: Int = 100000,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

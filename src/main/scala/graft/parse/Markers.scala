@@ -19,11 +19,11 @@ object Markers {
 
   // ---- page markers ------------------------------------------------------
 
-  private val pageP1 = Pattern.compile("---\\s+[Pp]age\\s+([0-9]+)\\s+\\((.+?)\\)\\s+---", U)
-  private val pageP2 = Pattern.compile("---\\s+page_([0-9]+)\\s+---", U)
+  private val pageP1 = Pattern.compile("---\\s+[Pp]age\\s+(\\d+)\\s+\\((.+?)\\)\\s+---", U)
+  private val pageP2 = Pattern.compile("---\\s+page_(\\d+)\\s+---", U)
   private val pageNoNum = Pattern.compile("---\\s+[Pp]age\\s+\\((.+?)\\)\\s+---", U)
   private val pageColon = Pattern.compile("---\\s+[Pp]age:\\s*(.+?)\\s*---", U)
-  private val pageNumInFile = Pattern.compile("page_([0-9]+)")
+  private val pageNumInFile = Pattern.compile("page_(\\d+)")
 
   /** parse_page_marker + extract_page_number: (page_number, source_file);
     * ("","") when the line is not a page marker. */
@@ -34,14 +34,14 @@ object Markers {
     val m1 = pageP1.matcher(line)
     if (m1.find()) return (m1.group(1), m1.group(2))
     val m2 = pageP2.matcher(line)
-    if (m2.find()) return (m2.group(1).toLong.toString, "page_" + m2.group(1))
+    if (m2.find()) return (graft.text.Py.toInt(m2.group(1)).toString, "page_" + m2.group(1))
     val m3 = pageNoNum.matcher(line)
     if (m3.find()) return ("", m3.group(1))
     val m4 = pageColon.matcher(line)
     if (m4.find()) {
       val sourceFile = Py.strip(m4.group(1))
       val mn = pageNumInFile.matcher(sourceFile)
-      if (mn.find()) return (mn.group(1).toLong.toString, sourceFile)
+      if (mn.find()) return (graft.text.Py.toInt(mn.group(1)).toString, sourceFile)
       return ("", sourceFile)
     }
     ("", "")
@@ -49,7 +49,7 @@ object Markers {
 
   // ---- page metadata (N / M) --------------------------------------------
 
-  private val pageMetaP = Pattern.compile("^(.*?)\\s*([0-9]+)\\s*/\\s*([0-9]+)\\s*$", U)
+  private val pageMetaP = Pattern.compile("^(.*?)\\s*(\\d+)\\s*/\\s*(\\d+)\\s*$", U)
 
   /** parse_page_metadata (page.py:134-176). Input must be pre-stripped by
     * the caller (the reference passes line.strip()). */
@@ -59,7 +59,7 @@ object Markers {
     if (!m.matches()) return None
     val sectionName = Py.strip(m.group(1))
     val metaType = if (sectionName.contains("節")) "section-page" else "chapter-page"
-    Some(PageMeta(text, metaType, sectionName, m.group(2).toInt, m.group(3).toInt))
+    Some(PageMeta(text, metaType, sectionName, graft.text.Py.toInt(m.group(2)), graft.text.Py.toInt(m.group(3))))
   }
 
   // ---- headings ----------------------------------------------------------
@@ -124,8 +124,8 @@ object Markers {
   private val orderedListP = Pattern.compile(
     "^\\s*(" +
       "[①②③④⑤⑥⑦⑧⑨⑩⑪⑫⑬⑭⑮⑯⑰⑱⑲⑳]" +
-      "|[（(][0-9]+[)）]" +
-      "|[0-9]+[.．)）]" +
+      "|[（(]\\d+[)）]" +
+      "|\\d+[.．)）]" +
       ")\\s*(.*)$",
     U
   )

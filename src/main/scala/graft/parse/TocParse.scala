@@ -19,9 +19,9 @@ object TocParse {
   }
 
   private val chapterOnlyP = Pattern.compile("^Chapter$", Pattern.CASE_INSENSITIVE)
-  private val episodeOnlyP = Pattern.compile("^Episode\\s+[0-9]+$", Pattern.CASE_INSENSITIVE | U)
+  private val episodeOnlyP = Pattern.compile("^Episode\\s+\\d+$", Pattern.CASE_INSENSITIVE | U)
   private val columnOnlyP = Pattern.compile("^[Cc][Oo][Ll][Uu][Mm][Nn]$")
-  private val digitLeadP = Pattern.compile("^[0-9]+\\s+", U)
+  private val digitLeadP = Pattern.compile("^\\d+\\s+", U)
 
   /** merge_toc_lines (toc.py:108-209). */
   def mergeTocLines(lines: Seq[String]): Vector[String] = {
@@ -69,19 +69,19 @@ object TocParse {
 
   // ---- parse_toc_entry (toc.py:327-482) -----------------------------------
 
-  private val dotLeaderP = Pattern.compile("\\.{2,}\\s*([0-9]+)\\s*$", U)
-  private val dashLeaderP = Pattern.compile("[─\\-]{2,}\\s*([0-9]+)\\s*$", U)
-  private val spaceLeaderP = Pattern.compile("\\s{3,}([0-9]+)\\s*$", U)
+  private val dotLeaderP = Pattern.compile("\\.{2,}\\s*(\\d+)\\s*$", U)
+  private val dashLeaderP = Pattern.compile("[─\\-]{2,}\\s*(\\d+)\\s*$", U)
+  private val spaceLeaderP = Pattern.compile("\\s{3,}(\\d+)\\s*$", U)
 
-  private val chapterNewP = Pattern.compile("^Chapter\\s+([0-9]+)\\s*(.*)$", Pattern.CASE_INSENSITIVE | U)
-  private val sectionNewP = Pattern.compile("^Section\\s+([0-9]+\\.[0-9]+)\\s*(.*)$", Pattern.CASE_INSENSITIVE | U)
+  private val chapterNewP = Pattern.compile("^Chapter\\s+(\\d+)\\s*(.*)$", Pattern.CASE_INSENSITIVE | U)
+  private val sectionNewP = Pattern.compile("^Section\\s+(\\d+\\.\\d+)\\s*(.*)$", Pattern.CASE_INSENSITIVE | U)
   private val subsectionNewP =
-    Pattern.compile("^Subsection\\s+([0-9]+\\.[0-9]+\\.[0-9]+)\\s*(.*)$", Pattern.CASE_INSENSITIVE | U)
-  private val level5P = Pattern.compile("^([0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+)\\s+(.+)$", U)
-  private val level4P = Pattern.compile("^([0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+)\\s+(.+)$", U)
-  private val level3P = Pattern.compile("^([0-9]+\\.[0-9]+\\.[0-9]+)\\s+(.+)$", U)
-  private val level2P = Pattern.compile("^([0-9]+\\.[0-9]+)\\s+(.+)$", U)
-  private val level1P = Pattern.compile("^([0-9])\\s+(.+)$", U)
+    Pattern.compile("^Subsection\\s+(\\d+\\.\\d+\\.\\d+)\\s*(.*)$", Pattern.CASE_INSENSITIVE | U)
+  private val level5P = Pattern.compile("^(\\d+\\.\\d+\\.\\d+\\.\\d+\\.\\d+)\\s+(.+)$", U)
+  private val level4P = Pattern.compile("^(\\d+\\.\\d+\\.\\d+\\.\\d+)\\s+(.+)$", U)
+  private val level3P = Pattern.compile("^(\\d+\\.\\d+\\.\\d+)\\s+(.+)$", U)
+  private val level2P = Pattern.compile("^(\\d+\\.\\d+)\\s+(.+)$", U)
+  private val level1P = Pattern.compile("^(\\d)\\s+(.+)$", U)
 
   def parseTocEntry(lineIn: String): Option[TocEntry] = {
     if (Py.strip(lineIn).isEmpty) return None
@@ -131,15 +131,15 @@ object TocParse {
   // split_toc_entries (toc.py:243-296): lookahead split on entry starts.
   private val splitP = Pattern.compile(
     "(?=" +
-      "(?:Chapter|CHAPTER|chapter)\\s+[0-9]+|" +
-      "(?:Section|SECTION|section)\\s+[0-9]+\\.[0-9]+|" +
-      "(?:Subsection|SUBSECTION|subsection)\\s+[0-9]+\\.[0-9]+\\.[0-9]+|" +
-      "(?:Episode|EPISODE|episode)\\s+[0-9]+|" +
+      "(?:Chapter|CHAPTER|chapter)\\s+\\d+|" +
+      "(?:Section|SECTION|section)\\s+\\d+\\.\\d+|" +
+      "(?:Subsection|SUBSECTION|subsection)\\s+\\d+\\.\\d+\\.\\d+|" +
+      "(?:Episode|EPISODE|episode)\\s+\\d+|" +
       "(?:Column|COLUMN|column)\\s+|" +
-      "第[0-9]+章|" +
-      "[0-9]+\\.[0-9]+\\.[0-9]+\\s|" +
-      "[0-9]+\\.[0-9]+\\s|" +
-      "(?:^|\\s)[0-9]+\\s+(?=[^0-9\\.])" +
+      "第\\d+章|" +
+      "\\d+\\.\\d+\\.\\d+\\s|" +
+      "\\d+\\.\\d+\\s|" +
+      "(?:^|\\s)\\d+\\s+(?=[^\\d\\.])" +
       ")",
     U
   )

@@ -93,10 +93,7 @@ object Checkpoint {
       b: Int, outDir: String, runningHeadThreshold: Double): BucketManifest = {
     val spark = bucketLines.sparkSession
     import spark.implicits._
-    val results = bucketLines.mapPartitions(_.map { case (id, texts, offsets) =>
-        Extract.extractLines(id,
-          offsets.zip(texts).sortBy(_._1).map(_._2).toIndexedSeq, runningHeadThreshold)
-      })
+    val results = Extract.runLines(bucketLines, runningHeadThreshold)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     try {
       val spans = results.flatMap(r => r.spans)
@@ -122,30 +119,16 @@ object Checkpoint {
     } finally results.unpersist()
   }
 
-  /** One bucket's docs as a pruned view over a SHARED corpus DataFrame:
-    * `bucket` is a partition column, so the filter becomes a
-    * PartitionFilter at planning time (asserted in SparkE2ESpec), while
-    * the file listing/index is built ONCE for all buckets instead of
-    * once per bucket (256 re-listings of a 100-TB table is driver-side
-    * pain for nothing). */
-  def bucketDocs(corpus: org.apache.spark.sql.DataFrame, b: Int): Dataset[InputDoc] = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    corpus.where(col("bucket") === b).select(col("doc_id"), col("spans")).as[InputDoc]
-  }
-
-  /** The same bucket view, NESTED-SCHEMA-PRUNED to what extraction
-    * actually consumes: spans.text + spans.offset (ReadSchema drops
-    * kind/media_ref at the parquet scan — measured 1.17x on the
-    * scan+extract path, and strictly fewer bytes off the 100-TB table). */
+  /** One bucket's docs, NESTED-SCHEMA-PRUNED to what extraction actually
+    * consumes, as a view over a SHARED corpus DataFrame: `bucket` is a
+    * partition column, so the filter becomes a PartitionFilter at
+    * planning time (asserted in SparkE2ESpec), while the file listing/
+    * index is built ONCE for all buckets instead of once per bucket
+    * (256 re-listings of a 100-TB table is driver-side pain for
+    * nothing). The projection itself lives in [[TableIO.pruneLines]]. */
   def bucketLines(corpus: org.apache.spark.sql.DataFrame, b: Int)
-      : Dataset[(String, Array[String], Array[Int])] = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    corpus.where(col("bucket") === b)
-      .select(col("doc_id"), col("spans.text").as("texts"), col("spans.offset").as("offsets"))
-      .as[(String, Array[String], Array[Int])]
-  }
+      : Dataset[(String, Array[String], Array[Int])] =
+    TableIO.pruneLines(corpus.where(col("bucket") === b))
 
   /** Process all uncommitted buckets of an ALREADY bucket-partitioned
     * corpus (the TableIO layout / an Iceberg bucket(doc_id) table): each
@@ -169,10 +152,11 @@ object Checkpoint {
     val p = new Path(path)
     val f = fs(spark, path)
     if (!f.exists(p)) return None
-    val vals = f.listStatus(p).toVector.collect {
-      case s if s.isDirectory && s.getPath.getName.startsWith("bucket=") =>
-        s.getPath.getName.stripPrefix("bucket=").toInt
-    }
+    val vals = f.listStatus(p).toVector
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+      .flatMap(s => s.getPath.getName.stripPrefix("bucket=").toIntOption)
+    // non-numeric partition dirs (e.g. __HIVE_DEFAULT_PARTITION__ from a
+    // null doc_id) are ignored rather than aborting the run
     if (vals.isEmpty) None else Some(vals.max + 1)
   }
 

@@ -102,6 +102,19 @@ object Extract {
     docs.mapPartitions(_.map(extractDoc(_, runningHeadThreshold)))
   }
 
+  /** Distributed entry over the NESTED-PRUNED projection
+    * ([[graft.io.TableIO.pruneLines]]): (doc_id, texts, offsets) rows —
+    * the production scan shape. Shared by Checkpoint and Scaling. */
+  def runLines(lines: Dataset[(String, Array[String], Array[Int])],
+      runningHeadThreshold: Double = 0.5): Dataset[DocResult] = {
+    val spark = lines.sparkSession
+    import spark.implicits._
+    lines.mapPartitions(_.map { case (id, texts, offsets) =>
+      extractLines(id, offsets.zip(texts).sortBy(_._1).map(_._2).toIndexedSeq,
+        runningHeadThreshold)
+    })
+  }
+
   /** Flat span table (doc_id, offset, kind, text, media_ref, ...). */
   def spans(docs: Dataset[InputDoc], runningHeadThreshold: Double = 0.5): Dataset[OutSpan] = {
     val spark = docs.sparkSession

@@ -175,7 +175,11 @@ object ExtractRelational {
   // cleaner does NOT reap them), so a persist with no unpersist path
   // would leak one input-sized cache per spans() call in a long-lived
   // session (e.g. Bench). spans() keeps at most ONE live cache: each
-  // call releases the previous invocation's.
+  // call releases the previous invocation's. SINGLE-FLIGHT assumption:
+  // interleaving two persistParsed spans() plans and executing the
+  // FIRST one later is still correct (unpersist never breaks lineage)
+  // but recomputes its parse twice — pass persistParsed = false for
+  // that pattern, or execute each result before building the next.
   @volatile private var lastPersisted: Option[Dataset[ParsedDoc]] = None
 
   /** Full relational pipeline. `parsed` feeds BOTH the running-head

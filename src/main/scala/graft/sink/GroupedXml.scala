@@ -84,7 +84,7 @@ object GroupedXml {
 
   /** _normalize_level (toc.py:31-51). */
   private def normalizeLevel(level: String): Int =
-    if (level.nonEmpty && level.forall(_.isDigit)) math.min(level.toInt, 3)
+    if (level.nonEmpty && level.forall(_.isDigit)) math.min(Py.toInt(level), 3)
     else Map("chapter" -> 1, "section" -> 2, "subsection" -> 3, "other" -> 1)
       .getOrElse(level, 1)
 
@@ -139,18 +139,22 @@ object GroupedXml {
 
   // ---- section.py is_chapter_title_page -------------------------------------
 
-  private val chapterTitleP = java.util.regex.Pattern.compile("第[0-9]+章")
+  // python \d matches Unicode Nd (full-width １２３ included) -> \d + U flag
+  private val chapterTitleP = java.util.regex.Pattern.compile("第\\d+章",
+    java.util.regex.Pattern.UNICODE_CHARACTER_CLASS)
 
   /** is_chapter_title_page (section.py:199-234): 第N章 at the START of
-    * pageMetadata text (unless the SERIALIZED metadata contains literal
-    * "<emphasis>") or of any content heading — the reference pattern is
-    * re.search(r"^第\d+章"), which without MULTILINE only matches at
-    * position 0, i.e. lookingAt. */
+    * pageMetadata text or of any content heading — the reference pattern
+    * is re.search(r"^第\\d+章"), which without MULTILINE only matches at
+    * position 0, i.e. lookingAt. If the SERIALIZED metadata contains the
+    * literal "<emphasis>", the reference returns False for the WHOLE page
+    * (section.py:219-220) — not just for the metadata check. */
   private def isChapterTitlePage(page: El): Boolean = {
-    findFirst(page, "pageMetadata").foreach { md =>
-      if (!XmlBuilder.fragment(md).contains("<emphasis>")) {
+    findFirst(page, "pageMetadata") match {
+      case Some(md) =>
+        if (XmlBuilder.fragment(md).contains("<emphasis>")) return false
         if (chapterTitleP.matcher(itertext(md)).lookingAt()) return true
-      }
+      case None => ()
     }
     findFirst(page, "content").foreach { content =>
       iterDescendants(content, "heading").foreach { h =>
@@ -163,7 +167,7 @@ object GroupedXml {
 
   // ---- hierarchy.py ----------------------------------------------------------
 
-  private def sortKey(num: String): Vector[Int] = num.split("\\.").map(_.toInt).toVector
+  private def sortKey(num: String): Vector[Int] = num.split("\\.").map(Py.toInt).toVector
   private implicit val vecOrd: Ordering[Vector[Int]] =
     Ordering.Implicits.seqOrdering[Vector, Int]
 
@@ -306,8 +310,8 @@ object GroupedXml {
     val tocEntries = tocElement.map(parseToc).getOrElse(Vector.empty)
     // int(toc.get("begin", "0")) — absent attr defaults "0"; an EMPTY
     // page number attr raises like the reference's int("")
-    val tocBegin = tocElement.map(t => attr(t, "begin").getOrElse("0").toInt).getOrElse(0)
-    val tocEnd = tocElement.map(t => attr(t, "end").getOrElse("0").toInt).getOrElse(0)
+    val tocBegin = tocElement.map(t => Py.toInt(attr(t, "begin").getOrElse("0"))).getOrElse(0)
+    val tocEnd = tocElement.map(t => Py.toInt(attr(t, "end").getOrElse("0"))).getOrElse(0)
 
     val tocLookup = mutable.LinkedHashMap.empty[String, TocXmlEntry]
     tocEntries.foreach(e => if (e.number.nonEmpty) tocLookup.update(e.number, e))
@@ -323,7 +327,7 @@ object GroupedXml {
       newBook.append(frontMatter)
     } else {
       val (frontPages, contentPages) = pages.partition { page =>
-        val pageNum = attr(page, "number").getOrElse("0").toInt // int("") raises
+        val pageNum = Py.toInt(attr(page, "number").getOrElse("0")) // int("") raises
         tocBegin != 0 && pageNum <= tocEnd
       }
       if (frontPages.nonEmpty) {

@@ -57,12 +57,12 @@ object Normalize {
   }
 
   // (?U): Python \s matches unicode whitespace (full-width space U+3000);
-  // digits stay ASCII ([0-9]) — full-width digits in structural numbers
+  // digits stay ASCII (\\d) — full-width digits in structural numbers
   // are normalized by numberFormat first, mirroring the reference flow.
   private val zenSpacePattern =
-    Pattern.compile("第\\s+([0-9]+)\\s+(章|節)", Pattern.UNICODE_CHARACTER_CLASS)
+    Pattern.compile("第\\s+(\\d+)\\s+(章|節)", Pattern.UNICODE_CHARACTER_CLASS)
   private val numSpacePattern =
-    Pattern.compile("([0-9]+)\\.\\s+([0-9]+)", Pattern.UNICODE_CHARACTER_CLASS)
+    Pattern.compile("(\\d+)\\.\\s+(\\d+)", Pattern.UNICODE_CHARACTER_CLASS)
 
   /** normalize_spaces (heading_normalizer.py:94-125): 第 N 章 -> 第N章;
     * iterate "N. N" -> "N.N" to fixpoint. */

@@ -40,4 +40,26 @@ object Py {
   /** Python str.isalnum() per char (unicode letters/digits). */
   def isAlnum(c: Char): Boolean =
     Character.isLetterOrDigit(c)
+
+  /** Python int(str): accepts any Unicode Nd digits (full-width
+    * １２３ included) with surrounding whitespace; raises on anything
+    * else — the exact semantics of int() on regex-captured \\d groups.
+    * Character.digit handles Nd -> value per char. */
+  def toInt(sIn: String): Int = {
+    val s = strip(sIn)
+    if (s.isEmpty) throw new NumberFormatException(s"invalid literal for int(): '$sIn'")
+    var i = 0
+    var neg = false
+    if (s.charAt(0) == '+' || s.charAt(0) == '-') { neg = s.charAt(0) == '-'; i = 1 }
+    if (i >= s.length) throw new NumberFormatException(s"invalid literal for int(): '$sIn'")
+    var out = 0L
+    while (i < s.length) {
+      val d = Character.digit(s.charAt(i), 10)
+      if (d < 0) throw new NumberFormatException(s"invalid literal for int(): '$sIn'")
+      out = out * 10 + d
+      if (out > Int.MaxValue) throw new NumberFormatException(s"int overflow: '$sIn'")
+      i += 1
+    }
+    if (neg) -out.toInt else out.toInt
+  }
 }
