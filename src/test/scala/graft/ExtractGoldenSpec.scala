@@ -44,6 +44,10 @@ class ExtractGoldenSpec extends AnyFunSuite {
       Vector(("DEEP_HEADING", "5", 54)))
   }
 
+  test("full-width digits: python \\d / int() semantics (raw pattern-1, interned page_NNNN)") {
+    check("fullwidth_book")
+  }
+
   test("offsets are dense 0..n-1") {
     val doc = Fixtures.mdToDoc("/fixtures/toc_book.md", "toc_book")
     val spans = Extract.extractDoc(doc).spans
