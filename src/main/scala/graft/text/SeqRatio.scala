@@ -2,34 +2,45 @@ package graft.text
 
 import scala.collection.mutable
 
-/** Faithful Scala port of CPython `difflib.SequenceMatcher` over Chars
+/** Faithful Scala port of CPython `difflib.SequenceMatcher`
   * (isjunk=None, autojunk=True) — the similarity primitive the reference
   * uses for TOC fuzzy matching (src/book_converter/heading_matcher.py:206),
   * whole-page voting (src/ocr_ensemble/voting.py:143-149) and ROVER char
   * alignment (src/rover/alignment.py:104).
   *
+  * Operates on UNICODE CODE POINTS, not UTF-16 units: Python strings are
+  * code-point sequences, so lengths, match indices, and the autojunk
+  * length threshold (len(b) > 199) all count code points. With non-BMP
+  * characters (𠮷, emoji) a UTF-16 port diverges — ratios shift and the
+  * autojunk heuristic can flip on/off (verified against difflib).
+  *
   * Implements the published Ratcliff/Obershelp variant from the CPython
   * standard library (public source), including the autojunk "popular
-  * element" heuristic (b longer than 199 chars: chars occurring more than
-  * 1% are excluded from match seeding but still joinable by extension —
-  * observable in opcodes, so required for fixture parity).
+  * element" heuristic (b longer than 199 elements: elements occurring
+  * more than 1% are excluded from match seeding but still joinable by
+  * extension — observable in opcodes, so required for fixture parity).
   */
 object SeqRatio {
 
   final case class Match(a: Int, b: Int, size: Int)
-  /** tag in {"equal","replace","delete","insert"} with [i1,i2) in a, [j1,j2) in b */
+  /** tag in {"equal","replace","delete","insert"} with [i1,i2) in a, [j1,j2) in b —
+    * indices are CODE-POINT offsets. */
   final case class Opcode(tag: String, i1: Int, i2: Int, j1: Int, j2: Int)
 
-  final class Matcher(a: String, b: String) {
+  def codePoints(s: String): Array[Int] = s.codePoints().toArray
+
+  final class Matcher(a: Array[Int], b: Array[Int]) {
+    def this(a: String, b: String) = this(codePoints(a), codePoints(b))
+
     private val la = a.length
     private val lb = b.length
 
-    // b2j: char -> ascending positions in b, with autojunk-popular removed
-    private val b2j: mutable.HashMap[Char, mutable.ArrayBuffer[Int]] = {
-      val m = mutable.HashMap.empty[Char, mutable.ArrayBuffer[Int]]
+    // b2j: code point -> ascending positions in b, with autojunk-popular removed
+    private val b2j: mutable.HashMap[Int, mutable.ArrayBuffer[Int]] = {
+      val m = mutable.HashMap.empty[Int, mutable.ArrayBuffer[Int]]
       var j = 0
       while (j < lb) {
-        m.getOrElseUpdate(b.charAt(j), mutable.ArrayBuffer.empty[Int]) += j
+        m.getOrElseUpdate(b(j), mutable.ArrayBuffer.empty[Int]) += j
         j += 1
       }
       if (lb >= 200) {
@@ -50,7 +61,7 @@ object SeqRatio {
       var i = alo
       while (i < ahi) {
         val newj2len = mutable.HashMap.empty[Int, Int]
-        b2j.get(a.charAt(i)) match {
+        b2j.get(a(i)) match {
           case Some(idxs) =>
             var p = 0
             var break = false
@@ -70,14 +81,14 @@ object SeqRatio {
         j2len = newj2len
         i += 1
       }
-      // Extend over non-junk (all chars are non-junk here except popular,
+      // Extend over non-junk (all elements are non-junk here except popular,
       // which were removed from b2j but remain extendable — matching
-      // CPython where isbjunk is False for popular chars).
+      // CPython where isbjunk is False for popular elements).
       var bi = besti; var bj = bestj; var bs = bestsize
-      while (bi > alo && bj > blo && a.charAt(bi - 1) == b.charAt(bj - 1)) {
+      while (bi > alo && bj > blo && a(bi - 1) == b(bj - 1)) {
         bi -= 1; bj -= 1; bs += 1
       }
-      while (bi + bs < ahi && bj + bs < bhi && a.charAt(bi + bs) == b.charAt(bj + bs)) bs += 1
+      while (bi + bs < ahi && bj + bs < bhi && a(bi + bs) == b(bj + bs)) bs += 1
       Match(bi, bj, bs)
     }
 
@@ -135,5 +146,8 @@ object SeqRatio {
   /** difflib.SequenceMatcher(None, a, b).ratio() */
   def ratio(a: String, b: String): Double = new Matcher(a, b).ratio
 
+  /** Opcodes with CODE-POINT indices (python-faithful). */
   def opcodes(a: String, b: String): Vector[Opcode] = new Matcher(a, b).opcodes
+
+  def opcodesCp(a: Array[Int], b: Array[Int]): Vector[Opcode] = new Matcher(a, b).opcodes
 }

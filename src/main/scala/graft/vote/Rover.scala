@@ -176,23 +176,29 @@ object Rover {
   )
 
   def alignTextsCharacterLevel(texts: Vector[(String, String)]): Vector[AlignedPosition] = {
+    // python strings are CODE-POINT sequences: lengths, max-by-len base
+    // selection, and per-position indexing all count code points (𠮷 is
+    // one position, not two UTF-16 units)
+    def cpStr(cp: Int): String = new String(Character.toChars(cp))
     val nonEmpty = texts.filter(_._2.nonEmpty)
+      .map { case (e, t) => (e, SeqRatio.codePoints(t)) }
     if (nonEmpty.isEmpty) return Vector.empty
     if (nonEmpty.length == 1) {
-      val (engine, text) = nonEmpty.head
-      return text.map(c => AlignedPosition(Vector(engine -> Some(c.toString)), Map(engine -> 1.0))).toVector
+      val (engine, cps) = nonEmpty.head
+      return cps.map(c =>
+        AlignedPosition(Vector(engine -> Some(cpStr(c))), Map(engine -> 1.0))).toVector
     }
     // longest text as base; Python max keeps first max
-    val (baseEngine, baseText) = nonEmpty.foldLeft(nonEmpty.head) { (best, cur) =>
+    val (baseEngine, baseCps) = nonEmpty.foldLeft(nonEmpty.head) { (best, cur) =>
       if (cur._2.length > best._2.length) cur else best
     }
-    val candidates = Array.fill(baseText.length)(mutable.ArrayBuffer.empty[(String, Option[String])])
-    val confidences = Array.fill(baseText.length)(mutable.LinkedHashMap.empty[String, Double])
-    baseText.zipWithIndex.foreach { case (c, i) =>
-      candidates(i) += ((baseEngine, Some(c.toString)))
+    val candidates = Array.fill(baseCps.length)(mutable.ArrayBuffer.empty[(String, Option[String])])
+    val confidences = Array.fill(baseCps.length)(mutable.LinkedHashMap.empty[String, Double])
+    baseCps.zipWithIndex.foreach { case (c, i) =>
+      candidates(i) += ((baseEngine, Some(cpStr(c))))
       confidences(i)(baseEngine) = 1.0
     }
-    nonEmpty.foreach { case (engine, text) =>
+    nonEmpty.foreach { case (engine, cps) =>
       if (engine != baseEngine) {
         def put(i: Int, v: Option[String], conf: Double): Unit = {
           val existing = candidates(i).indexWhere(_._1 == engine)
@@ -200,14 +206,14 @@ object Rover {
           else candidates(i) += ((engine, v))
           confidences(i)(engine) = conf
         }
-        SeqRatio.opcodes(baseText, text).foreach {
+        SeqRatio.opcodesCp(baseCps, cps).foreach {
           case SeqRatio.Opcode("equal", i1, i2, j1, _) =>
             var k = 0
-            while (k < i2 - i1) { put(i1 + k, Some(text.charAt(j1 + k).toString), 1.0); k += 1 }
+            while (k < i2 - i1) { put(i1 + k, Some(cpStr(cps(j1 + k))), 1.0); k += 1 }
           case SeqRatio.Opcode("replace", i1, i2, j1, j2) =>
             var k = 0
             while (k < math.min(i2 - i1, j2 - j1)) {
-              put(i1 + k, Some(text.charAt(j1 + k).toString), 1.0); k += 1
+              put(i1 + k, Some(cpStr(cps(j1 + k))), 1.0); k += 1
             }
             k = j2 - j1
             while (k < i2 - i1) { put(i1 + k, None, 0.0); k += 1 }

@@ -7,6 +7,45 @@ import graft.text.SeqRatio
   * the stdlib), plus algebraic properties on seeded random strings. */
 class SeqRatioSpec extends AnyFunSuite {
 
+  test("non-BMP: ratios count CODE POINTS like python (incl. autojunk flip)") {
+    // golden values computed by running difflib.SequenceMatcher on these
+    // exact pairs; a UTF-16 port gets every one wrong (the last one
+    // catastrophically: the surrogate-doubled length crosses the
+    // autojunk threshold that the code-point length does not)
+    val cases = Seq(
+      ("𠮷野家", "吉野家", 0.6666666666666666),
+      ("𠮷𠮷𠮷abc", "abc", 0.6666666666666666),
+      ("第1章 𠮷野家", "第1章 吉野家", 0.8571428571428571),
+      ("a🎉b🎉c", "a🎉c", 0.75),
+      ("𩸽" * 10 + "x", "𩸽" * 10 + "y", 0.9090909090909091),
+      ("x" + "𠮷" * 120, "y" + "𠮷" * 120, 0.9917355371900827))
+    cases.foreach { case (a, b, exp) =>
+      val got = SeqRatio.ratio(a, b)
+      assert(math.abs(got - exp) < 1e-12, s"ratio: got $got expected $exp")
+    }
+  }
+
+  test("non-BMP ROVER alignment+vote matches the reference (run live)") {
+    // expected values from running the reference's
+    // align_texts_character_level + vote_aligned_text on these inputs
+    val cases = Seq(
+      (Vector("yomitoku" -> "𠮷野家で𩸽を食べた",
+        "paddleocr" -> "吉野家で𩸽を食へた",
+        "easyocr" -> "𠮷野家て𩸽を食べた"),
+        Map("yomitoku" -> 0.9, "paddleocr" -> 0.8, "easyocr" -> 0.7),
+        "𠮷野家で𩸽を食べた", 2.718888888888889),
+      (Vector("yomitoku" -> "𝒜𝒜test𝒜",
+        "paddleocr" -> "AAtestA", "easyocr" -> "𝒜𝒜test"),
+        Map("yomitoku" -> 0.4, "paddleocr" -> 0.95, "easyocr" -> 0.6),
+        "𝒜𝒜testA", 1.8428571428571427))
+    cases.foreach { case (texts, conf, expText, expAvg) =>
+      val pos = graft.vote.Rover.alignTextsCharacterLevel(texts)
+      val (text, avg) = graft.vote.Rover.voteAlignedText(pos, conf)
+      assert(text == expText, s"voted '$text' expected '$expText'")
+      assert(math.abs(avg - expAvg) < 1e-9)
+    }
+  }
+
   test("ratio + opcodes match difflib goldens (incl. autojunk case)") {
     Fixtures.resourceLines("/fixtures/seqratio.golden.tsv").foreach { line =>
       val f = line.split("\t", -1)
