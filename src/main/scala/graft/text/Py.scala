@@ -37,9 +37,24 @@ object Py {
     if (j == s.length) s else s.substring(0, j)
   }
 
-  /** Python str.isalnum() per char (unicode letters/digits). */
-  def isAlnum(c: Char): Boolean =
-    Character.isLetterOrDigit(c)
+  /** Python str.isalnum() per CODE POINT: isalpha (L*) or isdecimal/
+    * isdigit/isnumeric — which adds Nl (Ⅷ) and No (①, ², ½) beyond
+    * Java's isLetterOrDigit. Circled list numbers are common in the
+    * reference's OCR text, so the wider set is observable. */
+  def isAlnum(cp: Int): Boolean = {
+    if (Character.isLetter(cp) || Character.isDigit(cp)) true
+    else {
+      val t = Character.getType(cp)
+      t == Character.LETTER_NUMBER || t == Character.OTHER_NUMBER
+    }
+  }
+  def isAlnum(c: Char): Boolean = isAlnum(c.toInt)
+
+  /** Code points of a string (python strings are code-point sequences). */
+  def codePoints(s: String): Array[Int] = s.codePoints().toArray
+
+  /** Python len(str) = code-point count. */
+  def len(s: String): Int = s.codePointCount(0, s.length)
 
   /** Python int(str): accepts any Unicode Nd digits (full-width
     * １２３ included) with surrounding whitespace; raises on anything

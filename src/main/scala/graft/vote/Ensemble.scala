@@ -15,36 +15,37 @@ object Ensemble {
   private val U = Pattern.UNICODE_CHARACTER_CLASS
   private val repeat10P = Pattern.compile("(.)\\1{9,}")
   private val jaCharP = Pattern.compile("[\\u3040-\\u309F\\u30A0-\\u30FF\\u4E00-\\u9FFF]")
-  private val special10P = Pattern.compile("[^\\w\\s\\u3040-\\u309F\\u30A0-\\u30FF\\u4E00-\\u9FFF]{10,}", U)
+  private val special10P = Pattern.compile("[^\\p{L}\\p{Nd}\\p{Nl}\\p{No}_\\s\\u3040-\\u309F\\u30A0-\\u30FF\\u4E00-\\u9FFF]{10,}", U)
 
   /** Page-level is_garbage (ocr_ensemble/voting.py:13-47). */
   def isGarbagePage(text: String, minLength: Int = 50, jaRatioThreshold: Double = 0.1): Boolean = {
     if (text == null || text.isEmpty) return true
     if (repeat10P.matcher(text).find()) return true
-    if (text.length >= minLength) {
+    // python len(text) counts code points (emoji/rare kanji = 1)
+    if (graft.text.Py.len(text) >= minLength) {
       val m = jaCharP.matcher(text)
       var jaChars = 0
       while (m.find()) jaChars += 1
-      if (jaChars.toDouble / text.length < jaRatioThreshold) return true
+      if (jaChars.toDouble / graft.text.Py.len(text) < jaRatioThreshold) return true
     }
     special10P.matcher(text).find()
   }
 
   /** calc_non_char_ratio (layout_ocr_utils.py:32-46): share of chars that
     * are neither Japanese nor \w. */
-  private val charP = Pattern.compile("[\\u3040-\\u309F\\u30A0-\\u30FF\\u4E00-\\u9FFF\\w]", U)
+  private val charP = Pattern.compile("[\\u3040-\\u309F\\u30A0-\\u30FF\\u4E00-\\u9FFF\\p{L}\\p{Nd}\\p{Nl}\\p{No}_]", U)
   def nonCharRatio(text: String): Double = {
     if (text == null || text.isEmpty) return 0.0
     val m = charP.matcher(text)
     var chars = 0
     while (m.find()) chars += 1
-    1.0 - chars.toDouble / text.length
+    1.0 - chars.toDouble / graft.text.Py.len(text) // python len = code points
   }
 
   /** is_low_quality (layout_ocr_utils.py:49-66). */
   def isLowQuality(text: String, minLength: Int = 10, maxNonCharRatio: Double = 0.5): Boolean = {
     if (text == null || Py.strip(text).isEmpty) return true
-    if (Py.strip(text).length < minLength) return true
+    if (Py.len(Py.strip(text)) < minLength) return true
     nonCharRatio(text) > maxNonCharRatio
   }
 

@@ -37,19 +37,23 @@ object Rover {
   def isGarbage(text: String, confidence: Double, minConfidence: Double = 0.5): Boolean = {
     if (text == null || Py.strip(text).isEmpty) return true
     if (confidence < minConfidence) return true
+    // python iterates CODE POINTS: len(), the 5-run window, and isalnum
+    // all count 𠮷/emoji as ONE element (a UTF-16 loop never sees a
+    // 5-run of identical surrogate pairs)
+    val cps = Py.codePoints(text)
     // Python: "぀" <= ch <= "ヿ" (kana) or "一" <= ch <= "鿿" (CJK)
-    val hasJapanese = text.exists(ch =>
-      (ch >= 0x3040 && ch <= 0x30ff) || (ch >= 0x4e00 && ch <= 0x9fff))
-    if (!hasJapanese && text.length <= 5) return true
-    if (text.length >= 5) {
+    val hasJapanese = cps.exists(cp =>
+      (cp >= 0x3040 && cp <= 0x30ff) || (cp >= 0x4e00 && cp <= 0x9fff))
+    if (!hasJapanese && cps.length <= 5) return true
+    if (cps.length >= 5) {
       var i = 0
-      while (i < text.length - 4) {
-        if (text.charAt(i) == text.charAt(i + 1) && text.charAt(i) == text.charAt(i + 2) &&
-          text.charAt(i) == text.charAt(i + 3) && text.charAt(i) == text.charAt(i + 4)) return true
+      while (i < cps.length - 4) {
+        if (cps(i) == cps(i + 1) && cps(i) == cps(i + 2) &&
+          cps(i) == cps(i + 3) && cps(i) == cps(i + 4)) return true
         i += 1
       }
     }
-    if (text.forall(ch => !Py.isAlnum(ch))) return true
+    if (cps.forall(cp => !Py.isAlnum(cp))) return true
     false
   }
 

@@ -8,6 +8,29 @@ import graft.vote.{Ensemble, Rover}
   * verified against reference-generated goldens + unit semantics. */
 class EnsembleSpec extends AnyFunSuite {
 
+  test("garbage/quality filters match python code-point + isalnum/\\w semantics") {
+    // expected verdicts from RUNNING the reference's is_garbage (line +
+    // page), is_low_quality and calc_non_char_ratio on these inputs:
+    // code-point lengths, isalnum incl. Nl/No (①, Ⅷ, ²), python \w
+    val cases = Seq(
+      // text, line_garbage, page_garbage, low_quality, non_char
+      ("🎉🎉🎉🎉🎉", true, false, true, 1.0),
+      ("𠮷𠮷𠮷𠮷𠮷𠮷", true, false, true, 0.0),
+      ("①②③", true, false, true, 0.0),
+      ("Ⅷ²½", true, false, true, 0.0),
+      ("🎉a🎉b", true, false, true, 0.5),
+      ("𠮷野家だよ", false, false, true, 0.0),
+      ("ab🎉", true, false, true, 1.0 / 3),
+      ("漢" * 3 + "🎉" * 60, true, true, true, 60.0 / 63),
+      ("①" * 12, true, true, false, 0.0))
+    cases.foreach { case (t, lg, pg, lq, nc) =>
+      assert(graft.vote.Rover.isGarbage(t, 0.9) == lg, s"line_garbage('$t')")
+      assert(graft.vote.Ensemble.isGarbagePage(t) == pg, s"page_garbage('$t')")
+      assert(graft.vote.Ensemble.isLowQuality(t) == lq, s"low_quality('$t')")
+      assert(math.abs(graft.vote.Ensemble.nonCharRatio(t) - nc) < 1e-9, s"non_char('$t')")
+    }
+  }
+
   test("merge_by_voting matches reference goldens (20 pages)") {
     Fixtures.resourceLines("/fixtures/ensemble.golden.tsv").foreach { line =>
       val f = line.split("\t", -1)
