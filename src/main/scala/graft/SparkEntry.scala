@@ -141,12 +141,17 @@ object SparkEntry {
       // itself rejects (empty page number, >50% page loss) are quarantined
       // as error rows, like a production pipeline would
       import s.implicits._
+      // sha256 content digest makes silent grouped-XML drift between
+      // rounds fail the rows+hash gate (raising docs hash "" so the
+      // err_kind rows stay stable)
       SyntheticCorpus.docsForSfDir(s, dir).mapPartitions(_.map { d =>
         scala.util.Try(graft.sink.GroupedXml.buildGroupedXml(d)) match {
-          case scala.util.Success(x) => (d.doc_id, true, x.length, "")
-          case scala.util.Failure(e) => (d.doc_id, false, 0, e.getClass.getSimpleName)
+          case scala.util.Success(x) => (d.doc_id, true, x.length, "", x)
+          case scala.util.Failure(e) => (d.doc_id, false, 0, e.getClass.getSimpleName, "")
         }
-      }).toDF("doc_id", "ok", "n_chars", "err_kind")
+      }).toDF("doc_id", "ok", "n_chars", "err_kind", "xml")
+        .select(col("doc_id"), col("ok"), col("n_chars"), col("err_kind"),
+          sha2(col("xml"), 256).as("xml_sha"))
     }),
 
     // ---- relational operator families (oracle-gated) ----------------------

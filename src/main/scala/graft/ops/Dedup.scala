@@ -132,8 +132,16 @@ object Dedup {
 
   /** SimHash near-dup candidates: hamming distance <= maxDist via
     * block-permutation buckets (4 blocks of 16 bits: dist<=3 pairs share
-    * at least one exact block — pigeonhole), then exact popcount check. */
-  def simhashPairs(docs: DataFrame, maxDist: Int = 3,
+    * at least one exact block — pigeonhole), then exact popcount check.
+    *
+    * maxBucket caps degenerate block buckets exactly like
+    * [[lshCandidatePairs]]: a boilerplate-dominated corpus collapses to
+    * few (blk, key) buckets (e.g. millions of near-empty docs all at
+    * simhash 0) and an uncapped self-join there is O(n^2) pairs — AQE
+    * splits the skewed bucket's tasks but cannot reduce the pair count.
+    * Over-cap buckets carry no discriminative signal and are dropped;
+    * Int.MaxValue restores the classic uncapped self-join. */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3, maxBucket: Int = 1000,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     // codegen Catalyst expression; the map stage over the full corpus
     // stays in whole-stage codegen. Null text hashes to 0L like the old
@@ -144,11 +152,32 @@ object Dedup {
     val blocks = withSim.select(col("doc_id"), col("simhash"),
       explode(sequence(lit(0), lit(3))).as("blk"))
       .withColumn("key", expr("(simhash >> (blk * 16)) & 65535"))
-    val a = blocks.as("a"); val b = blocks.as("b")
-    a.join(b, col("a.blk") === col("b.blk") && col("a.key") === col("b.key") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
+    val pairs =
+      if (maxBucket == Int.MaxValue) {
+        // uncapped: classic block-bucket self-join (AQE splits hot buckets)
+        val a = blocks.as("a"); val b = blocks.as("b")
+        a.join(b, col("a.blk") === col("b.blk") && col("a.key") === col("b.key") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
+      } else {
+        // capped: one aggregation materializes each bucket's member list
+        // (bounded by maxBucket), pairs expand in-row — no self-join.
+        // sort_array orders struct members by doc_id (first field), so
+        // in-row (i, j>i) expansion preserves the doc_a < doc_b contract.
+        val buckets = blocks
+          .groupBy(col("blk"), col("key"))
+          .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("members"))
+          .where(size(col("members")) >= 2 && size(col("members")) <= maxBucket)
+        buckets
+          .select(col("members"), posexplode(col("members")))
+          .withColumnRenamed("pos", "i").withColumnRenamed("col", "a")
+          .select(col("a"),
+            explode(slice(col("members"), col("i") + lit(2), size(col("members")))).as("b"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
+      }
+    pairs
       .distinct()
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .where(col("hamming") <= maxDist)

@@ -153,6 +153,28 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(all.select("doc_id").distinct().count() == 40)
   }
 
+  test("simhash pair join caps degenerate buckets (no quadratic blowup)") {
+    val ss = spark; import ss.implicits._
+    // 200 identical docs: every (blk, key) bucket holds all 200 members —
+    // the boilerplate-corpus degenerate case. Capped => the over-cap
+    // buckets are dropped (0 pairs), NOT n^2/2 = 19,900.
+    val same = (0 until 200).map(i => (f"d$i%04d", "boilerplate page " * 10))
+      .toDF("doc_id", "text")
+    assert(graft.ops.Dedup.simhashPairs(same, maxDist = 3, maxBucket = 50).count() == 0)
+    // under the cap the full duplicate clique is still emitted
+    val few = (0 until 10).map(i => (f"d$i%04d", "boilerplate page " * 10))
+      .toDF("doc_id", "text")
+    assert(graft.ops.Dedup.simhashPairs(few, maxDist = 3, maxBucket = 50).count() == 45)
+    // capped in-row expansion == classic self-join when no bucket overflows
+    val mixed = (0 until 60)
+      .map(i => (f"m$i%04d", s"doc $i body ${"x " * (i % 7)} tail ${i % 5}"))
+      .toDF("doc_id", "text")
+    val capped = graft.ops.Dedup.simhashPairs(mixed, maxDist = 16, maxBucket = 1000)
+    val uncapped = graft.ops.Dedup.simhashPairs(mixed, maxDist = 16, maxBucket = Int.MaxValue)
+    assert(capped.count() == uncapped.count())
+    assert(capped.except(uncapped).isEmpty && uncapped.except(capped).isEmpty)
+  }
+
   test("media plumbing: stub decode yields typed metadata for every figure") {
     val ss = spark; import ss.implicits._
     val docs = corpus(20)
