@@ -76,6 +76,18 @@ object SparkEntry {
         .select(col("doc_id"), length(col("xml")).as("n_chars"),
           sha2(col("xml"), 256).as("xml_sha"))
     }),
+    "x_book_md" -> ((s, dir) => {
+      // consolidate sink (book.txt + book.md) distributed: byte parity
+      // with the reference is golden-gated in ConsolidateSpec; here rows
+      // + content digests so drift fails the gate
+      import s.implicits._
+      graft.sink.Consolidate.books(SyntheticCorpus.docsForSfDir(s, dir))
+        .toDF("doc_id", "book_txt", "book_md", "err_kind")
+        .select(col("doc_id"),
+          length(col("book_txt")).as("n_txt"), length(col("book_md")).as("n_md"),
+          sha2(col("book_txt"), 256).as("txt_sha"), sha2(col("book_md"), 256).as("md_sha"),
+          col("err_kind"))
+    }),
     "x_ensemble_vote" -> ((s, dir) => {
       // legacy whole-page similarity vote + fallback chain, distributed:
       // per doc, three synthetic engine texts (one degraded) -> winner
