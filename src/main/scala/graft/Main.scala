@@ -7,7 +7,8 @@ import org.apache.spark.sql.SparkSession
   * Usage:
   *   spark-submit --class graft.Main <jar> extract   <inDir> <outDir> [buckets] [parallelism]
   *   spark-submit --class graft.Main <jar> synth     <nDocs> <outDir> [buckets] [parallelism]
-  *   spark-submit --class graft.Main <jar> xml       <inDir> <outDir>
+  *   spark-submit --class graft.Main <jar> xml       <inDir> <outDir> [grouped]
+ *                                                   [--header-levelN KEYWORDS]
   *
   * `extract` reads an input table with the input_hint shape
   * (doc_id string, spans array<struct<kind,text,media_ref,offset>>) from
@@ -51,8 +52,12 @@ object Main {
       case "xml" :: inDir :: outDir :: rest =>
         // formatter sink: one reference-parity book.xml string per doc;
         // "grouped" applies the --group-pages hierarchy transform, with
-        // reference-rejected docs quarantined as error rows
-        val grouped = rest.headOption.contains("grouped")
+        // reference-rejected docs quarantined as error rows.
+        // --header-levelN KEYWORDS (pipe-separated) mirrors the reference
+        // CLI (book_converter/cli.py:66-73) and threads a
+        // HeaderLevelConfig into group_pages_by_toc.
+        val grouped = rest.contains("grouped")
+        val config = headerConfig(rest)
         val docs =
           if (isBucketPartitioned(spark, inDir))
             graft.io.TableIO.readDocs(spark, inDir)
@@ -62,24 +67,44 @@ object Main {
             graft.sink.XmlBuilder.xml(docs).toDF("doc_id", "xml")
               .withColumn("error", org.apache.spark.sql.functions.lit(""))
           else docs.mapPartitions(_.map { d =>
-            scala.util.Try(graft.sink.GroupedXml.buildGroupedXml(d)) match {
+            scala.util.Try(graft.sink.GroupedXml.buildGroupedXml(d, config = config)) match {
               case scala.util.Success(x) => (d.doc_id, x, "")
               case scala.util.Failure(e) =>
                 (d.doc_id, "", e.getClass.getSimpleName + ": " +
                   Option(e.getMessage).getOrElse(""))
             }
           }).toDF("doc_id", "xml", "error")
-        out.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(outDir)
-        val written = spark.read.parquet(outDir)
-        val n = written.count()
-        val errs = written.where(org.apache.spark.sql.functions.col("error") =!= "").count()
-        println(s"""{"docs":$n,"errors":$errs,"out":"$outDir"}""")
+        // observe() rides the write job — no second scan of the output
+        import org.apache.spark.sql.functions.{count, lit, sum, when, col}
+        val obs = new org.apache.spark.sql.Observation("xml_metrics")
+        out.observe(obs, count(lit(1)).as("docs"),
+            sum(when(col("error") =!= "", 1L).otherwise(0L)).as("errors"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(outDir)
+        val m = obs.get
+        val errs = Option(m("errors")).map(_.asInstanceOf[Long]).getOrElse(0L)
+        println(s"""{"docs":${m("docs")},"errors":$errs,"out":"$outDir"}""")
       case other =>
         System.err.println(s"unknown args: $other (want: extract <in> <out> [buckets] | " +
-          "synth <nDocs> <out> [buckets] | xml <in> <out>)")
+          "synth <nDocs> <out> [buckets] | " +
+          "xml <in> <out> [grouped] [--header-levelN KEYWORDS])")
         sys.exit(2)
     }
     spark.stop()
+  }
+
+  /** HeaderLevelConfig.from_cli_args (models.py:286-313): pipe-separated
+    * keywords per level, stripped, empties dropped; None when no level
+    * was given. */
+  private def headerConfig(rest: List[String])
+      : Option[graft.group.Sections.HeaderLevelConfig] = {
+    def level(n: Int): Vector[String] =
+      rest.sliding(2).collectFirst {
+        case List(flag, v) if flag == s"--header-level$n" =>
+          v.split('|').toVector.map(graft.text.Py.strip).filter(_.nonEmpty)
+      }.getOrElse(Vector.empty)
+    val cfg = graft.group.Sections.HeaderLevelConfig(
+      level(1), level(2), level(3), level(4), level(5))
+    if (cfg.hasAnyConfig) Some(cfg) else None
   }
 
   private def isBucketPartitioned(spark: SparkSession, dir: String): Boolean = {
