@@ -30,9 +30,14 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // best-of-N to damp the sandbox VM's timing noise
-    val repeat = sys.env.getOrElse("BENCH_REPEAT", "2").toInt
-    def best(f: => Unit): Double = (1 to repeat).map(_ => time(f)).min
+    // >=3 repeat ROUNDS interleaved across queries (not back-to-back per
+    // query): the sandbox VM freezes for tens of seconds at a time, and a
+    // stall that lands inside one query's back-to-back repeats poisons
+    // every number in that alphabetical block (seen in BENCH_r02).
+    // Interleaving makes a stall hit one round of many queries instead,
+    // and the per-query MEDIAN over rounds shakes it off entirely.
+    val rounds = math.max(3, sys.env.getOrElse("BENCH_ROUNDS",
+      sys.env.getOrElse("BENCH_REPEAT", "3")).toInt)
 
     // headline: extraction docs/sec (north-rule metric). Measured on a
     // fixed 40k-doc corpus regardless of sf so the number amortizes task
@@ -43,7 +48,7 @@ object Bench {
     // record (matches graft.Scaling's best-of-N protocol), the median
     // shows how noisy this particular run was.
     val nDocs = 40000L
-    val extractRepeat = math.max(3, repeat)
+    val extractRepeat = math.max(3, rounds)
     val docs = graft.io.SyntheticCorpus.docs(spark, nDocs, partitions = 256)
     graft.pipeline.Extract.run(docs).count() // warmup (codegen/JIT)
     graft.pipeline.Extract.run(docs).count()
@@ -53,16 +58,44 @@ object Bench {
     val extractMedian = runs(runs.length / 2)
     val docsPerSec = nDocs / extractSec
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val sec = try {
-        best(fn(spark, sfDir).count())
-      } catch { case _: Throwable => -1.0 }
-      name -> sec
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val times = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
+    val failed = scala.collection.mutable.Set[String]()
+    (1 to rounds).foreach { _ =>
+      names.foreach { case (name, fn) =>
+        if (!failed(name)) {
+          try {
+            val sec = time(fn(spark, sfDir).count())
+            times(name) = times.getOrElse(name, Vector.empty) :+ sec
+          } catch { case _: Throwable => failed += name; times.remove(name) }
+        }
+      }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    def median(v: Seq[Double]): Double = { val s = v.sorted; s(s.length / 2) }
+    val med = names.map { case (k, _) =>
+      k -> times.get(k).map(median).getOrElse(-1.0) }
+    val best = names.map { case (k, _) =>
+      k -> times.get(k).map(_.min).getOrElse(-1.0) }
+    def js(rs: Seq[(String, Double)]) =
+      rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = med.map(_._2).filter(_ >= 0).sum
+    val totalBest = best.map(_._2).filter(_ >= 0).sum
+    // stall detection: per-round totals over fully-measured queries — a
+    // VM freeze shows up as one round grossly slower than another. Round
+    // 1 is excluded from the ratio (it carries JIT/codegen warmup, ~1.6x
+    // at sf0.01); it is still recorded in round_totals.
+    val complete = times.values.filter(_.length == rounds).toVector
+    val roundTotals = (0 until rounds).map(r => complete.map(_(r)).sum)
+    val steady = roundTotals.drop(1)
+    val stallRatio =
+      if (steady.nonEmpty && steady.min > 0) steady.max / steady.min
+      else -1.0
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(med)},""" +
+        s""""queries_best":${js(best)},"total_best":$totalBest,"rounds":$rounds,""" +
+        s""""round_totals":[${roundTotals.mkString(",")}],""" +
+        s""""stall_ratio":$stallRatio,"stall_detected":${stallRatio > 2.0},""" +
+        s""""sf":"$sfDir",""" +
         s""""extract_docs":$nDocs,"extract_sec":$extractSec,"extract_docs_per_sec":$docsPerSec,""" +
         s""""extract_sec_median":$extractMedian,"extract_repeats":$extractRepeat,""" +
         s""""cpus":$cpus}""")
