@@ -212,15 +212,39 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("sim"), 4).as("sim"))
   }
 
-  /** LSH-bucketed ANN: query joins only its bucket (+ optional multiprobe
-    * by flipping one bit). Approximate: recall benchmarked vs brute force. */
+  /** All XOR masks within hamming distance <= depth of 0 over nPlanes
+    * bits, ascending by popcount — the multiprobe ball. Driver-side and
+    * tiny (sum of C(nPlanes, i), e.g. 211 at 20 planes / depth 2). */
+  def probeMasks(nPlanes: Int, depth: Int): Seq[Long] =
+    (0 to depth).flatMap(d =>
+      (0 until nPlanes).combinations(d).map(_.foldLeft(0L)((m, b) => m | (1L << b))))
+
+  /** LSH-bucketed ANN: query joins only the buckets within hamming
+    * distance <= probeDepth of its own SRP signature. Approximate:
+    * recall benchmarked vs brute force (AnnSpec recall/cost curve).
+    *
+    * Bucket-occupancy math (how to size nPlanes/probeDepth at corpus
+    * scale): uniform expected bucket size is N / 2^nPlanes, and a query
+    * scores ~ probes * N / 2^nPlanes candidates where probes =
+    * sum_{i<=probeDepth} C(nPlanes, i). At N = 10^9 the default single
+    * table at 12 planes holds ~244k vectors per bucket — 3.2M scored per
+    * query at depth 1, which is brute force in disguise. The scale
+    * setting raises planes and compensates recall with a deeper probe
+    * ball: 20 planes / depth 2 -> 211 probes * ~954/bucket ~ 201k
+    * (0.02% of the corpus), 24 planes / depth 2 -> 301 * ~60 ~ 18k.
+    * Recall at equal scan budget is higher with more planes + deeper
+    * probes than with fewer planes (AnnSpec pins the monotonicity on the
+    * test embeddings); real corpora skew bucket sizes, so pair this with
+    * the same maxBucket suppression as [[embeddingNearDups]] if the data
+    * is adversarial. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, dimCount: Int, k: Int = 5,
-      nPlanes: Int = 12, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      nPlanes: Int = 12, probeDepth: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val bucket = srpBucket(dimCount, nPlanes)(col(vecCol))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"), bucket.as("bucket"))
-    // multiprobe: query probes its bucket and the nPlanes 1-bit-flip buckets
-    val probes = array((lit(0L) +: (0 until nPlanes).map(p => lit(1L << p))): _*)
+    // multiprobe: query probes every bucket in its hamming ball
+    val probes = array(probeMasks(nPlanes, probeDepth).map(lit): _*)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"), bucket.as("qb"))
       .withColumn("bucket", explode(transform(probes, f => col("qb").bitwiseXOR(f))))
       .drop("qb")

@@ -85,6 +85,57 @@ class AnnSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
   }
 
+  test("LSH probe-ball sizes match the documented occupancy math") {
+    // probes = sum_{i<=depth} C(nPlanes, i) — the scaling knob the
+    // lshTopK scaladoc sizes against 10^9 vectors
+    assert(Similarity.probeMasks(12, 1).size == 13)   // 1 + 12
+    assert(Similarity.probeMasks(20, 2).size == 211)  // 1 + 20 + 190
+    assert(Similarity.probeMasks(24, 2).size == 301)  // 1 + 24 + 276
+    assert(Similarity.probeMasks(6, 0) == Seq(0L))    // exact bucket only
+    // masks are distinct and within the ball
+    val ms = Similarity.probeMasks(10, 2)
+    assert(ms.distinct.size == ms.size)
+    assert(ms.forall(m => java.lang.Long.bitCount(m) <= 2))
+  }
+
+  test("LSH recall/cost curve: deeper probes raise recall, more planes cut cost") {
+    val ss = spark; import ss.implicits._
+    val queries = emb.where(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val n = emb.count()
+
+    def run(planes: Int, depth: Int): (Double, Long) = {
+      val got = Similarity.lshTopK(emb, queries, dimCount = 64, k = 5,
+        nPlanes = planes, probeDepth = depth)
+        .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (brute intersect got).size.toDouble / brute.size
+      // cost = candidates scanned = sum of probed buckets' occupancies
+      val sig = Similarity.srpBucket(64, planes)(col("embedding"))
+      val occ = emb.select(sig.as("b")).groupBy("b").count()
+        .as[(Long, Long)].collect().toMap
+      val qSigs = queries.select(sig.as("b")).as[Long].collect()
+      val masks = Similarity.probeMasks(planes, depth)
+      val cost = qSigs.map(qb => masks.map(m => occ.getOrElse(qb ^ m, 0L)).sum).sum
+      (recall, cost)
+    }
+
+    val (r61, c61) = run(6, 1)
+    val (r62, c62) = run(6, 2)
+    val (r102, c102) = run(10, 2)
+    // deeper ball at fixed planes: candidate set is a superset, so recall
+    // is monotone non-decreasing and the scan cost grows
+    assert(r62 >= r61, s"recall fell with deeper probes: $r61 -> $r62")
+    assert(c62 >= c61)
+    // more planes at fixed depth: finer buckets -> smaller scan cost
+    assert(c102 < c62, s"10 planes should scan fewer candidates: $c102 vs $c62")
+    // the uniform model N/2^planes bounds the occupied-bucket mean from
+    // below (occupied <= 2^planes buckets exist)
+    val occupied = emb.select(Similarity.srpBucket(64, 6)(col("embedding")).as("b"))
+      .distinct().count()
+    assert(n.toDouble / occupied >= n.toDouble / (1L << 6))
+  }
+
   test("embedding near-dup pairs are symmetric-free and above threshold") {
     val dups = Similarity.embeddingNearDups(emb, dimCount = 64, threshold = 0.8, nPlanes = 4)
       .collect()
