@@ -16,6 +16,9 @@ object MdSweep {
           println(s"doc_$i DIFF: reference raises FileNotFoundError, got $attempt")
           fails += 1
         }
+      } else if (attempt.isFailure) {
+        println(s"doc_$i DIFF: unexpected ${attempt.failed.get}")
+        fails += 1
       } else {
         val (txt, md) = attempt.get
         for ((got, ext) <- Seq((txt, "book.txt"), (md, "book.md"))) {

@@ -48,7 +48,7 @@ object Bench {
     // record (matches graft.Scaling's best-of-N protocol), the median
     // shows how noisy this particular run was.
     val nDocs = 40000L
-    val extractRepeat = math.max(3, rounds)
+    val extractRepeat = rounds // already clamped to >= 3
     val docs = graft.io.SyntheticCorpus.docs(spark, nDocs, partitions = 256)
     graft.pipeline.Extract.run(docs).count() // warmup (codegen/JIT)
     graft.pipeline.Extract.run(docs).count()

@@ -56,8 +56,8 @@ object Main {
         // --header-levelN KEYWORDS (pipe-separated) mirrors the reference
         // CLI (book_converter/cli.py:66-73) and threads a
         // HeaderLevelConfig into group_pages_by_toc.
-        val grouped = rest.contains("grouped")
-        val config = headerConfig(rest)
+        val (config, positionals) = parseXmlOpts(rest)
+        val grouped = positionals.contains("grouped")
         val docs =
           if (isBucketPartitioned(spark, inDir))
             graft.io.TableIO.readDocs(spark, inDir)
@@ -92,19 +92,37 @@ object Main {
     spark.stop()
   }
 
-  /** HeaderLevelConfig.from_cli_args (models.py:286-313): pipe-separated
-    * keywords per level, stripped, empties dropped; None when no level
-    * was given. */
-  private def headerConfig(rest: List[String])
-      : Option[graft.group.Sections.HeaderLevelConfig] = {
+  /** Parse xml-mode options: --header-levelN consumes its value (so a
+    * keyword value can't be misread as a positional), a repeated flag
+    * takes the LAST occurrence, and a flag missing its value exits 2 —
+    * argparse semantics (cli.py:66-73). Keywords are pipe-separated,
+    * stripped, empties dropped (HeaderLevelConfig.from_cli_args,
+    * models.py:286-313); config is None when no level was given. */
+  private def parseXmlOpts(rest: List[String])
+      : (Option[graft.group.Sections.HeaderLevelConfig], List[String]) = {
+    val flags = (1 to 5).map(n => s"--header-level$n").toSet
+    val values = scala.collection.mutable.Map[String, String]()
+    val positionals = List.newBuilder[String]
+    var r = rest
+    while (r.nonEmpty) r match {
+      case flag :: value :: tail if flags(flag) =>
+        values(flag) = value // last occurrence wins
+        r = tail
+      case flag :: Nil if flags(flag) =>
+        System.err.println(s"error: argument $flag: expected one argument")
+        sys.exit(2)
+      case other :: tail =>
+        positionals += other
+        r = tail
+      case Nil => ()
+    }
     def level(n: Int): Vector[String] =
-      rest.sliding(2).collectFirst {
-        case List(flag, v) if flag == s"--header-level$n" =>
-          v.split('|').toVector.map(graft.text.Py.strip).filter(_.nonEmpty)
-      }.getOrElse(Vector.empty)
+      values.get(s"--header-level$n")
+        .map(_.split('|').toVector.map(graft.text.Py.strip).filter(_.nonEmpty))
+        .getOrElse(Vector.empty)
     val cfg = graft.group.Sections.HeaderLevelConfig(
       level(1), level(2), level(3), level(4), level(5))
-    if (cfg.hasAnyConfig) Some(cfg) else None
+    (if (cfg.hasAnyConfig) Some(cfg) else None, positionals.result())
   }
 
   private def isBucketPartitioned(spark: SparkSession, dir: String): Boolean = {

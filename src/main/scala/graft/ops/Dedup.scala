@@ -90,6 +90,9 @@ object Dedup {
         .withColumnRenamed("pos", "i").withColumnRenamed("col", "doc_a")
         .select(col("doc_a"),
           explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("doc_b"))
+        // duplicate ids in the input would otherwise pair with themselves
+        // (the uncapped join's strict < excludes them)
+        .where(col("doc_a") < col("doc_b"))
         .distinct()
     }
   }
@@ -140,7 +143,15 @@ object Dedup {
     * simhash 0) and an uncapped self-join there is O(n^2) pairs — AQE
     * splits the skewed bucket's tasks but cannot reduce the pair count.
     * Over-cap buckets carry no discriminative signal and are dropped;
-    * Int.MaxValue restores the classic uncapped self-join. */
+    * Int.MaxValue restores the classic uncapped self-join.
+    *
+    * Unlike [[lshCandidatePairs]] (opt-in cap), the cap here is ON by
+    * default: SimHash has no per-band signature entropy to dilute
+    * degenerate keys, so real boilerplate corpora concentrate mass in few
+    * (blk, key) buckets — the safe default is suppression, with the
+    * uncapped escape hatch explicit. Consequence: an exact-dup clique
+    * larger than maxBucket reports NO pairs here (use [[exactDupGroups]]
+    * for exact dups — that is its job). */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3, maxBucket: Int = 1000,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     // codegen Catalyst expression; the map stage over the full corpus
@@ -176,6 +187,9 @@ object Dedup {
             explode(slice(col("members"), col("i") + lit(2), size(col("members")))).as("b"))
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
             col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
+          // duplicate doc_id rows would otherwise self-pair (the uncapped
+          // join's strict < excludes them)
+          .where(col("doc_a") < col("doc_b"))
       }
     pairs
       .distinct()

@@ -127,6 +127,8 @@ object Similarity {
       .select(col("ids"), posexplode(col("ids")))
       .withColumnRenamed("pos", "i").withColumnRenamed("col", "id_a")
       .select(col("id_a"), explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("id_b"))
+      // duplicate ids would otherwise self-pair at cosine 1.0
+      .where(col("id_a") < col("id_b"))
       .distinct() // dedup across bands before any pairwise scoring
     val vecs = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"))
     candidates
@@ -234,9 +236,10 @@ object Similarity {
     * (0.02% of the corpus), 24 planes / depth 2 -> 301 * ~60 ~ 18k.
     * Recall at equal scan budget is higher with more planes + deeper
     * probes than with fewer planes (AnnSpec pins the monotonicity on the
-    * test embeddings); real corpora skew bucket sizes, so pair this with
-    * the same maxBucket suppression as [[embeddingNearDups]] if the data
-    * is adversarial. */
+    * test embeddings). Unlike the pair-join ops, a skewed bucket here is
+    * NOT quadratic — the broadcast join's output is bounded by corpus
+    * rows x probes-per-bucket, linear in N — so no maxBucket is needed;
+    * skew only inflates one query's scan cost. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, dimCount: Int, k: Int = 5,
       nPlanes: Int = 12, probeDepth: Int = 1,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

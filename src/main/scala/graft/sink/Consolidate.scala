@@ -28,12 +28,16 @@ object Consolidate {
   /** One derived ROVER page: (page identifier, merged text, headings). */
   final case class RoverPage(name: String, text: String, headings: Vector[String])
 
-  /** pathlib.Path.stem: final component without its last suffix
-    * ("a/b.c.txt" -> "b.c"; no suffix when the dot leads: ".x" -> ".x"). */
+  /** pathlib.Path.stem: name = last path component after dropping empty
+    * and "." components ("scans/" -> "scans", "." -> ""); the suffix is
+    * stripped only when its dot is neither leading nor trailing
+    * (".x" -> ".x", "a." -> "a.", "a/b.c.txt" -> "b.c") — CPython's
+    * `0 < name.rfind('.') < len(name) - 1` rule. */
   def stem(path: String): String = {
-    val name = path.substring(path.lastIndexOf('/') + 1)
+    val comps = path.split("/", -1).filter(c => c.nonEmpty && c != ".")
+    val name = if (comps.isEmpty) "" else comps.last
     val i = name.lastIndexOf('.')
-    if (i > 0) name.substring(0, i) else name
+    if (i > 0 && i < name.length - 1) name.substring(0, i) else name
   }
 
   /** Derive the ROVER-page inputs from a parsed document: page identifier
@@ -84,8 +88,14 @@ object Consolidate {
     val txt = new StringBuilder
     val md = new StringBuilder
     files.keys.toVector.sorted(pyStringOrder).foreach { fname =>
-      val pageName = fname.dropRight(4) // stem of "{name}.txt"
-      val pageText = files(fname)
+      // page_name = Path(file).stem, NOT a blind ".txt" strip: an empty
+      // page name writes the file ".txt", whose stem is ".txt" (leading
+      // dot = no suffix) — the reference's marker says "--- .txt ---"
+      val pageName = stem(fname)
+      // read_text() universal newlines: \r\n and \r become \n on READ of
+      // the rover text. headings.json escapes control chars (json \\r),
+      // so HEADINGS keep their \r — translate the text only.
+      val pageText = files(fname).replace("\r\n", "\n").replace('\r', '\n')
       val pageHeadings: Set[String] = allHeadings.getOrElse(pageName, Vector.empty).toSet
 
       txt.append("\n--- ").append(pageName).append(" ---\n\n")

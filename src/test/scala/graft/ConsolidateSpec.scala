@@ -53,6 +53,39 @@ class ConsolidateSpec extends AnyFunSuite {
     assert(Consolidate.stem("a.b.c") == "a.b")
     assert(Consolidate.stem("noext") == "noext")
     assert(Consolidate.stem(".hidden") == ".hidden")
+    // edge cases verified against sandbox python3 pathlib:
+    assert(Consolidate.stem("scans/") == "scans") // trailing slash dropped
+    assert(Consolidate.stem(".") == "")           // "." components removed
+    assert(Consolidate.stem("./x.txt") == "x")
+    assert(Consolidate.stem("..") == "..")
+    assert(Consolidate.stem("x/..") == "..")
+    assert(Consolidate.stem("a.") == "a.")        // trailing dot = no suffix
+    assert(Consolidate.stem("...") == "...")
+    assert(Consolidate.stem("a//b") == "b")
+  }
+
+  test("carriage returns translate like read_text universal newlines") {
+    // expected bytes captured by RUNNING consolidate_rover_output: rover
+    // text round-trips through write_text/read_text, which translates
+    // \r\n and \r to \n on read; "a " then strips to the matching heading
+    val (txt, md) = Consolidate.consolidate(
+      Vector(RoverPage("p", "a \rb\r\nc", Vector("a"))))
+    assert(txt == "\n--- p ---\n\na \nb\nc\n\n")
+    assert(md == "\n--- p ---\n\n\n## a\n\nb\nc\n\n")
+    // headings survive the json round-trip UNtranslated (json escapes
+    // control chars), so a \r heading can never match a translated line
+    val (_, md2) = Consolidate.consolidate(
+      Vector(RoverPage("q", "x\ry", Vector("x\ry"))))
+    assert(md2 == "\n--- q ---\n\nx\ny\n\n")
+  }
+
+  test("empty page name round-trips through the filesystem as '.txt'") {
+    // save_rover("") writes the file ".txt"; Path(".txt").stem == ".txt"
+    // (leading dot = no suffix), so the reference's marker says .txt —
+    // bytes captured from a live run
+    val (txt, md) = Consolidate.consolidate(Vector(RoverPage("", "body", Vector.empty)))
+    assert(txt == "\n--- .txt ---\n\nbody\n\n")
+    assert(md == "\n--- .txt ---\n\nbody\n\n")
   }
 
   test("duplicate page names collapse last-write-wins (file overwrite)") {

@@ -173,6 +173,12 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     val uncapped = graft.ops.Dedup.simhashPairs(mixed, maxDist = 16, maxBucket = Int.MaxValue)
     assert(capped.count() == uncapped.count())
     assert(capped.except(uncapped).isEmpty && uncapped.except(capped).isEmpty)
+    // duplicate doc_id rows must not self-pair (uncapped strict-< parity)
+    val dup = Seq(("d1", "same text here"), ("d1", "same text here"),
+      ("d2", "same text here")).toDF("doc_id", "text")
+    val pairs = graft.ops.Dedup.simhashPairs(dup, maxDist = 3, maxBucket = 50)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(pairs.toSet == Set(("d1", "d2")))
   }
 
   test("media plumbing: stub decode yields typed metadata for every figure") {
