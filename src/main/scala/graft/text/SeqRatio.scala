@@ -35,8 +35,9 @@ object SeqRatio {
     private val la = a.length
     private val lb = b.length
 
-    // b2j: code point -> ascending positions in b, with autojunk-popular removed
-    private val b2j: mutable.HashMap[Int, mutable.ArrayBuffer[Int]] = {
+    // b2j: code point -> ascending positions in b (primitive arrays), with
+    // autojunk-popular removed
+    private val b2j: mutable.HashMap[Int, Array[Int]] = {
       val m = mutable.HashMap.empty[Int, mutable.ArrayBuffer[Int]]
       var j = 0
       while (j < lb) {
@@ -48,7 +49,9 @@ object SeqRatio {
         val popular = m.iterator.collect { case (c, idxs) if idxs.length > ntest => c }.toList
         popular.foreach(m.remove)
       }
-      m
+      val out = mutable.HashMap.empty[Int, Array[Int]]
+      m.foreachEntry((c, buf) => out(c) = buf.toArray)
+      out
     }
 
     // isjunk=None => bjunk empty; isbjunk always false.
@@ -57,28 +60,44 @@ object SeqRatio {
       var besti = alo
       var bestj = blo
       var bestsize = 0
-      var j2len = mutable.HashMap.empty[Int, Int]
+      // python's per-row j2len dict as primitive arrays indexed by j, with
+      // touched-lists for O(row) clearing — values, visit order, and the
+      // strict k > bestsize first-max rule are identical, so results are
+      // bit-equal; this removes the boxed HashMap churn from the hot loop
+      var prev = new Array[Int](lb)
+      var cur = new Array[Int](lb)
+      var prevT = new Array[Int](lb)
+      var curT = new Array[Int](lb)
+      var prevN = 0
       var i = alo
       while (i < ahi) {
-        val newj2len = mutable.HashMap.empty[Int, Int]
-        b2j.get(a(i)) match {
-          case Some(idxs) =>
-            var p = 0
-            var break = false
-            while (p < idxs.length && !break) {
-              val j = idxs(p)
-              if (j < blo) ()
-              else if (j >= bhi) break = true
-              else {
-                val k = j2len.getOrElse(j - 1, 0) + 1
-                newj2len(j) = k
-                if (k > bestsize) { besti = i - k + 1; bestj = j - k + 1; bestsize = k }
-              }
-              p += 1
+        var curN = 0
+        val idxs = b2j.getOrElse(a(i), null)
+        if (idxs != null) {
+          var p = 0
+          var break = false
+          while (p < idxs.length && !break) {
+            val j = idxs(p)
+            if (j < blo) ()
+            else if (j >= bhi) break = true
+            else {
+              // prev holds last row's values only at its touched js (all in
+              // [blo, bhi)), zero elsewhere — same as the dict's getOrElse
+              val k = (if (j > 0) prev(j - 1) else 0) + 1
+              cur(j) = k
+              curT(curN) = j // idxs are distinct, so j is touched once
+              curN += 1
+              if (k > bestsize) { besti = i - k + 1; bestj = j - k + 1; bestsize = k }
             }
-          case None =>
+            p += 1
+          }
         }
-        j2len = newj2len
+        // zero prev's touched entries, then swap rows
+        var t = 0
+        while (t < prevN) { prev(prevT(t)) = 0; t += 1 }
+        val sw = prev; prev = cur; cur = sw
+        val swT = prevT; prevT = curT; curT = swT
+        prevN = curN
         i += 1
       }
       // Extend over non-junk (all elements are non-junk here except popular,
