@@ -9,6 +9,7 @@ import org.apache.spark.sql.SparkSession
   *   spark-submit --class graft.Main <jar> synth     <nDocs> <outDir> [buckets] [parallelism]
   *   spark-submit --class graft.Main <jar> xml       <inDir> <outDir> [grouped]
  *                                                   [--header-levelN KEYWORDS]
+ *   spark-submit --class graft.Main <jar> md        <inDir> <outDir>
   *
   * `extract` reads an input table with the input_hint shape
   * (doc_id string, spans array<struct<kind,text,media_ref,offset>>) from
@@ -83,10 +84,28 @@ object Main {
         val m = obs.get
         val errs = Option(m("errors")).map(_.asInstanceOf[Long]).getOrElse(0L)
         println(s"""{"docs":${m("docs")},"errors":$errs,"out":"$outDir"}""")
+      case "md" :: inDir :: outDir :: Nil =>
+        // consolidate sink (src/cli/consolidate.py step): one
+        // reference-parity book.txt + book.md per doc; zero-page docs
+        // (the reference raises) are quarantined as error rows
+        val docs =
+          if (isBucketPartitioned(spark, inDir))
+            graft.io.TableIO.readDocs(spark, inDir)
+          else spark.read.parquet(inDir).as[graft.model.InputDoc]
+        import org.apache.spark.sql.functions.{count, lit, sum, when, col}
+        val out = graft.sink.Consolidate.books(docs)
+          .toDF("doc_id", "book_txt", "book_md", "error")
+        val obs = new org.apache.spark.sql.Observation("md_metrics")
+        out.observe(obs, count(lit(1)).as("docs"),
+            sum(when(col("error") =!= "", 1L).otherwise(0L)).as("errors"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(outDir)
+        val m = obs.get
+        val errs = Option(m("errors")).map(_.asInstanceOf[Long]).getOrElse(0L)
+        println(s"""{"docs":${m("docs")},"errors":$errs,"out":"$outDir"}""")
       case other =>
         System.err.println(s"unknown args: $other (want: extract <in> <out> [buckets] | " +
           "synth <nDocs> <out> [buckets] | " +
-          "xml <in> <out> [grouped] [--header-levelN KEYWORDS])")
+          "xml <in> <out> [grouped] [--header-levelN KEYWORDS] | md <in> <out>)")
         sys.exit(2)
     }
     spark.stop()
