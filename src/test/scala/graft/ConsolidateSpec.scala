@@ -116,6 +116,35 @@ class ConsolidateSpec extends AnyFunSuite {
     assert(txt2.indexOf("--- p� ---") < txt2.indexOf("--- p😀 ---"))
   }
 
+  test("250 random books: byte-equal to reference consolidate_rover_output") {
+    // differential fixture: seeded random (name, text, headings) books run
+    // through the REFERENCE with a real hashdir round-trip (newline
+    // translation, filename sorting, duplicate-name overwrite, empty-name
+    // '.txt' stem all in play) — scripts/gen_consolidate_random.py
+    val lines = Fixtures.resourceLines("/fixtures/consolidate_random.golden.tsv")
+    val pagesByCase = collection.mutable.LinkedHashMap[Int, Vector[RoverPage]]()
+    val expTxt = collection.mutable.Map[Int, String]()
+    val expMd = collection.mutable.Map[Int, String]()
+    lines.filter(_.nonEmpty).foreach { line =>
+      val f = line.split("\t", -1)
+      val c = f(1).toInt
+      f(0) match {
+        case "P" =>
+          val page = RoverPage(Fixtures.unesc(f(2)), Fixtures.unesc(f(3)),
+            f.drop(4).toVector.map(Fixtures.unesc))
+          pagesByCase(c) = pagesByCase.getOrElse(c, Vector.empty) :+ page
+        case "T" => expTxt(c) = Fixtures.unesc(f(2))
+        case "M" => expMd(c) = Fixtures.unesc(f(2))
+      }
+    }
+    assert(pagesByCase.size == 250)
+    pagesByCase.foreach { case (c, pages) =>
+      val (txt, md) = Consolidate.consolidate(pages)
+      assert(txt == expTxt(c), s"case $c book.txt:\n got ${txt.take(200)}\n exp ${expTxt(c).take(200)}")
+      assert(md == expMd(c), s"case $c book.md:\n got ${md.take(200)}\n exp ${expMd(c).take(200)}")
+    }
+  }
+
   test("empty page set raises like the reference FileNotFoundError") {
     intercept[java.io.FileNotFoundException](Consolidate.consolidate(Vector.empty))
   }
