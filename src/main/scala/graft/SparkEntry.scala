@@ -182,6 +182,21 @@ object SparkEntry {
         .groupBy(col("r_name"))
         .agg(count(lit(1)).as("n_customers"), round(sum(col("c_acctbal")), 2).as("sum_acctbal"))
         .orderBy(col("r_name"))),
+    "q_join_shuffle" -> ((s, dir) =>
+      // fact x fact x dims WITHOUT broadcast hints: AQE picks the physical
+      // join (broadcast at this SF, sort-merge at corpus scale) — the
+      // declarative form you'd ship at 100 TB, vs q_join_broadcast's
+      // explicit small-dim hints.
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("o_orderpriority"), col("p_brand"))
+        .agg(count(lit(1)).as("n_items"),
+          countDistinct(col("s_name")).as("n_suppliers"),
+          sum(col("l_quantity")).cast("double").as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"))
+        .orderBy(col("o_orderpriority"), col("p_brand"))),
     "q_topk_per_group" -> ((s, dir) => {
       val w = Window.partitionBy(col("event_type")).orderBy(col("value").desc, col("event_id").asc)
       t(s, dir, "events")
@@ -324,6 +339,16 @@ object SparkEntry {
          FROM customer JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY 1 ORDER BY 1""",
+    "q_join_shuffle" ->
+      """SELECT o_orderpriority, p_brand, count(*) AS n_items,
+                count(DISTINCT s_name) AS n_suppliers,
+                CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+                round(sum(l_extendedprice), 2) AS sum_price
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN part ON l_partkey = p_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_topk_per_group" ->
       """SELECT event_type, rnk, event_id, value FROM (
            SELECT event_type, event_id, value,
