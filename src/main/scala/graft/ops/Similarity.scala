@@ -164,7 +164,12 @@ object Similarity {
     val trainRows =
       if (fraction >= 1.0) corpus else corpus.sample(withReplacement = false, fraction, 42L)
     val train = trainRows.select(col(idCol).as("id"), toVec(col(vecCol)).as("features"))
-    val model = new KMeans().setK(nLists).setSeed(42L).setMaxIter(10).fit(train)
+    // random init (seeded): k-means|| costs ~k extra passes over the
+    // training sample to pick smarter seeds, which matters for quantizer
+    // QUALITY only marginally at nLists<<sample size — recall gates in
+    // AnnSpec hold; at 10 iterations the centroids converge either way
+    val model = new KMeans().setK(nLists).setSeed(42L).setMaxIter(10)
+      .setInitMode("random").fit(train)
     val centroids = model.clusterCenters.map(_.toArray)
     val bcCentroids = spark.sparkContext.broadcast(centroids)
 
