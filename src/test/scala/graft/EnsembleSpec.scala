@@ -118,6 +118,40 @@ class EnsembleSpec extends AnyFunSuite {
     assert(Ensemble.confidenceAreaFilter(rs, 1000, 1000).size == 1)
   }
 
+  test("300 random pages: voteBestResult == reference vote_best_result") {
+    // differential fixture from RUNNING voting.py (matrix over non-empty
+    // results, thresholds 0.5/0.7/0.9, autojunk-straddling lengths,
+    // failed engines, ties broken by first-max score) —
+    // scripts/gen_vote_random.py
+    val lines = Fixtures.resourceLines("/fixtures/vote_random.golden.tsv")
+    var threshold = 0.7
+    var results = Vector.empty[(String, String)]
+    var cases = 0
+    lines.filter(_.nonEmpty).foreach { line =>
+      val f = line.split("\t", -1)
+      f(0) match {
+        case "C" =>
+          threshold = f(2).toDouble
+          results = Vector.empty
+        case "E" =>
+          results :+= (f(2) -> Fixtures.unesc(f(3)))
+        case "R" =>
+          val (text, engine, votes) = Ensemble.voteBestResult(results, threshold)
+          val expVotes: Map[String, Int] =
+            if (f(4).isEmpty) Map.empty
+            else f(4).split(',').map { kv =>
+              val Array(k, v) = kv.split(':'); k -> v.toInt
+            }.toMap
+          val c = f(1)
+          assert(engine == f(2), s"case $c engine: got $engine exp ${f(2)}")
+          assert(text == Fixtures.unesc(f(3)), s"case $c text mismatch")
+          assert(votes == expVotes, s"case $c votes: got $votes exp $expVotes")
+          cases += 1
+      }
+    }
+    assert(cases == 300)
+  }
+
   test("word->line clustering variant (runners.py:89-192)") {
     val words = Seq(
       TextWithBox("界", 50, 98, 60, 118, 0.8),
