@@ -33,6 +33,42 @@ class RoverSpec extends AnyFunSuite {
     }
   }
 
+  test("rover_merge matches reference on 200 random multi-engine pages") {
+    // differential fixture from RUNNING rover_merge (scripts/
+    // gen_rover_random.py): jittered y-bands vs the 30px tolerance,
+    // split boxes (within-line x-sort), absent engines, missed lines
+    // (gap filling), garbage items, noisy per-engine mutations
+    val lines = Fixtures.resourceLines("/fixtures/rover_random.golden.tsv")
+    val items = collection.mutable.Map[Int, Vector[(String, TextWithBox)]]()
+    var checked = 0
+    lines.filter(_.nonEmpty).foreach { line =>
+      val f = line.split("\t", -1)
+      f(0) match {
+        case "I" =>
+          val c = f(1).toInt
+          val it = TextWithBox(Fixtures.unesc(f(3)), f(4).toInt, f(5).toInt,
+            f(6).toInt, f(7).toInt, f(8).toDouble)
+          items(c) = items.getOrElse(c, Vector.empty) :+ (f(2) -> it)
+        case "R" =>
+          val c = f(1).toInt
+          // pass exactly the engines the reference dict contained (an
+          // absent engine differs observably from a present-but-empty
+          // one: both sides seed contributions from the PASSED engines)
+          val engines = Vector("yomitoku", "paddleocr", "easyocr")
+            .map(e => e -> items.getOrElse(c, Vector.empty).collect { case (`e`, it) => it })
+            .filter(_._2.nonEmpty)
+          val res = Rover.roverMerge(engines)
+          assert(res.text == Fixtures.unesc(f(2)), s"case $c text")
+          assert(res.gapsFilled == f(3).toInt, s"case $c gaps")
+          val contrib = res.engineContributions.toVector.sortBy(_._1)
+            .map { case (k, v) => s"$k=$v" }.mkString(",")
+          assert(contrib == f(4), s"case $c contributions: got $contrib exp ${f(4)}")
+          checked += 1
+      }
+    }
+    assert(checked == 200)
+  }
+
   test("is_garbage rules (line_processing.py:49-94)") {
     assert(Rover.isGarbage("", 1.0))
     assert(Rover.isGarbage("   ", 1.0))
