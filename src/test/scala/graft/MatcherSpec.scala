@@ -11,6 +11,55 @@ import graft.group.Sections
   * section-assignment unit semantics. */
 class MatcherSpec extends AnyFunSuite {
 
+  test("250 random cases: matchTocToBody == reference match_toc_to_body") {
+    // differential fixture from RUNNING heading_matcher.py on seeded
+    // random (toc, headings) sets: number-prefixed/fuzzy/missing/noise
+    // headings, zero-padded + dotted + empty numbers, broken
+    // monotonicity (sequential-cursor edge), thresholds 0.8/0.6 —
+    // scripts/gen_matcher_random.py
+    var curCase = -1
+    var threshold = 0.8
+    var toc = Vector.empty[TocEntry]
+    var hs = Vector.empty[BodyHeading]
+    var expected = Vector.empty[(String, String, String, Double, Int)]
+    var checked = 0
+    def flush(): Unit = if (curCase >= 0) {
+      val res = TocMatcher.matchTocToBody(toc, hs, threshold)
+      assert(res.length == expected.length, s"case $curCase result count")
+      res.zip(expected).zipWithIndex.foreach {
+        case ((m, (num, text, mt, sim, line)), i) =>
+          assert(m.tocEntry.number == num && m.tocEntry.text == text, s"case $curCase[$i] entry")
+          assert(m.matchType.toString.toLowerCase == mt, s"case $curCase[$i] type: " +
+            s"got ${m.matchType} exp $mt")
+          assert(math.abs(m.similarity - sim) < 1e-12,
+            s"case $curCase[$i] sim: got ${m.similarity} exp $sim")
+          assert(m.lineNumber == line, s"case $curCase[$i] line: got ${m.lineNumber} exp $line")
+      }
+      checked += 1
+    }
+    Fixtures.resourceLines("/fixtures/matcher_random.golden.tsv")
+      .filter(_.nonEmpty).foreach { lineStr =>
+        val f = lineStr.split("\t", -1)
+        f(0) match {
+          case "T" =>
+            flush()
+            curCase = f(1).toInt
+            threshold = f(2).toDouble
+            toc = f.drop(3).grouped(4).filter(_.length == 4).map(g =>
+              TocEntry(Fixtures.unesc(g(0)), g(1).toInt, Fixtures.unesc(g(2)), g(3))).toVector
+            hs = Vector.empty
+            expected = Vector.empty
+          case "H" =>
+            hs :+= BodyHeading(Fixtures.unesc(f(2)), f(3).toInt, f(4).toInt)
+          case "R" =>
+            expected :+= ((Fixtures.unesc(f(2)), Fixtures.unesc(f(3)), f(4),
+              f(5).toDouble, f(6).toInt))
+        }
+      }
+    flush()
+    assert(checked == 250)
+  }
+
   test("match_toc_to_body matches reference goldens") {
     case class Case(toc: Vector[TocEntry], headings: Vector[BodyHeading])
     val cases = scala.collection.mutable.Map.empty[Int, (Vector[TocEntry], Vector[BodyHeading])]
