@@ -23,7 +23,8 @@ object Markers {
   private val pageP2 = Pattern.compile("---\\s+page_(\\d+)\\s+---", U)
   private val pageNoNum = Pattern.compile("---\\s+[Pp]age\\s+\\((.+?)\\)\\s+---", U)
   private val pageColon = Pattern.compile("---\\s+[Pp]age:\\s*(.+?)\\s*---", U)
-  private val pageNumInFile = Pattern.compile("page_(\\d+)")
+  // U flag required: python \d = Unicode Nd, so "page_００７.png" -> "7"
+  private val pageNumInFile = Pattern.compile("page_(\\d+)", U)
 
   /** parse_page_marker + extract_page_number: (page_number, source_file);
     * ("","") when the line is not a page marker. */

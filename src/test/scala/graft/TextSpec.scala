@@ -10,6 +10,39 @@ import graft.text.Normalize
 
 class TextSpec extends AnyFunSuite {
 
+  test("400 random lines: page-marker recognizers == reference") {
+    // differential fixture from RUNNING extract_page_number +
+    // parse_page_metadata on adversarial marker-ish lines (full-width /
+    // zero-padded / mixed-width digits, exotic whitespace, broken
+    // markers) — scripts/gen_markers_random.py
+    val lines = Fixtures.resourceLines("/fixtures/markers_random.golden.tsv")
+    var input = ""
+    var checked = 0
+    lines.filter(_.nonEmpty).foreach { row =>
+      val f = row.split("\t", -1)
+      f(0) match {
+        case "L" => input = Fixtures.unesc(f(2))
+        case "R" =>
+          val c = f(1)
+          val (num, src) = Markers.extractPageNumber(input)
+          assert(num == Fixtures.unesc(f(2)), s"case $c number: got '$num' for '$input'")
+          assert(src == Fixtures.unesc(f(3)), s"case $c source: got '$src' for '$input'")
+          val meta = Markers.parsePageMetadata(graft.text.Py.strip(input))
+          if (f(4) == "0") assert(meta.isEmpty, s"case $c: unexpected metadata for '$input'")
+          else {
+            assert(meta.nonEmpty, s"case $c: missing metadata for '$input'")
+            val m = meta.get
+            assert(m.text == Fixtures.unesc(f(5)), s"case $c meta text")
+            assert(m.metaType == f(6), s"case $c meta type")
+            assert(m.sectionName == Fixtures.unesc(f(7)), s"case $c section")
+            assert(m.current == f(8).toInt && m.total == f(9).toInt, s"case $c N/M")
+          }
+          checked += 1
+      }
+    }
+    assert(checked == 400)
+  }
+
   test("dash normalization folds all 7 variants (analyzer.py:16-38)") {
     assert(Normalize.dashes("a—b–c―d‐e−fーg－h") == "a-b-c-d-e-f-g-h")
   }
