@@ -113,6 +113,17 @@ object Sections {
     None
   }
 
+  /** extract_section_from_page_metadata (section.py:101-148): whitespace
+    * normalization, then the <emphasis> front-matter veto, then the same
+    * chain as extract_section_from_heading. */
+  def extractSectionFromMetadata(metadataIn: String,
+      config: Option[HeaderLevelConfig] = None): Option[String] = {
+    if (metadataIn == null || metadataIn.isEmpty) return None
+    val metadata = normalizeForMatching(metadataIn)
+    if (metadata.contains("<emphasis>")) return None
+    extractSectionFromText(metadata, config)
+  }
+
   /** _extract_section_from_page new-format chain (assignment.py:177-230):
     * Chapter N / Section N.N / Subsection N.N.N first (regardless of
     * config), then the legacy (config-aware) fallback. */

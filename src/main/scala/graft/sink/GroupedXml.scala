@@ -127,15 +127,10 @@ object GroupedXml {
     }
   }
 
-  /** extract_section_from_page_metadata (section.py:101-148), no-config
-    * fallback chain (the live CLI default). */
+  /** extract_section_from_page_metadata (section.py:101-148). */
   private def extractSectionFromPageMetadata(metadataIn: String,
-      config: Option[Sections.HeaderLevelConfig]): Option[String] = {
-    if (metadataIn == null || metadataIn.isEmpty) return None
-    val metadata = Sections.normalizeForMatching(metadataIn)
-    if (metadata.contains("<emphasis>")) return None // front-matter skip
-    Sections.extractSectionFromText(metadata, config)
-  }
+      config: Option[Sections.HeaderLevelConfig]): Option[String] =
+    Sections.extractSectionFromMetadata(metadataIn, config)
 
   // ---- section.py is_chapter_title_page -------------------------------------
 

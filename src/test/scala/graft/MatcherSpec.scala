@@ -11,6 +11,61 @@ import graft.group.Sections
   * section-assignment unit semantics. */
 class MatcherSpec extends AnyFunSuite {
 
+  test("300 random cases: section extraction == reference section.py/hierarchy.py") {
+    // differential fixture from RUNNING extract_section_from_heading,
+    // extract_section_from_page_metadata, parse_section_number and
+    // _find_toc_key on random texts/configs (full-width digits, ascii-only
+    // lstrip('0'), re.escape'd keywords incl. metachars, IGNORECASE,
+    // <emphasis> veto, zero-pad lookup) — scripts/gen_sections_random.py
+    def cfg(spec: String): Option[Sections.HeaderLevelConfig] = {
+      if (spec.isEmpty) return None
+      val byLevel = spec.split(';').map { e =>
+        val Array(l, kws) = e.split(":", 2)
+        l.toInt -> kws.split('|').toVector
+      }.toMap
+      Some(Sections.HeaderLevelConfig(
+        byLevel.getOrElse(1, Vector.empty), byLevel.getOrElse(2, Vector.empty),
+        byLevel.getOrElse(3, Vector.empty), byLevel.getOrElse(4, Vector.empty),
+        byLevel.getOrElse(5, Vector.empty)))
+    }
+    var s = 0; var n = 0; var k = 0
+    Fixtures.resourceLines("/fixtures/sections_random.golden.tsv")
+      .filter(_.nonEmpty).foreach { row =>
+        val f = row.split("\t", -1)
+        val c = f(1)
+        f(0) match {
+          case "S" =>
+            val conf = cfg(Fixtures.unesc(f(2)))
+            val text = Fixtures.unesc(f(3))
+            val h = Sections.extractSectionFromText(text, conf)
+            val m = Sections.extractSectionFromMetadata(text, conf)
+            assert(h == (if (f(4) == "1") Some(Fixtures.unesc(f(5))) else None),
+              s"case $c heading: got $h for '$text' cfg=${f(2)}")
+            assert(m == (if (f(6) == "1") Some(Fixtures.unesc(f(7))) else None),
+              s"case $c metadata: got $m for '$text' cfg=${f(2)}")
+            s += 1
+          case "N" =>
+            val parsed = Sections.parseSectionNumber(Fixtures.unesc(f(2)))
+            if (f(3) == "0") assert(parsed.isEmpty, s"case $c: parsed '${f(2)}'")
+            else {
+              assert(parsed.nonEmpty, s"case $c: failed to parse '${f(2)}'")
+              val p = parsed.get
+              assert(p.raw == Fixtures.unesc(f(4)) &&
+                p.parts.mkString(",") == f(5) && p.level == f(6).toInt,
+                s"case $c parse: got $p exp ${f.toVector}")
+            }
+            n += 1
+          case "K" =>
+            val keys = if (f(3).isEmpty) Set.empty[String] else f(3).split(',').toSet
+            val got = Sections.findTocKey(f(2), keys)
+            assert(got == (if (f(4) == "1") Some(f(5)) else None),
+              s"case $c findTocKey(${f(2)}, $keys): got $got")
+            k += 1
+        }
+      }
+    assert(s == 300 && n == 300 && k == 300)
+  }
+
   test("250 random cases: matchTocToBody == reference match_toc_to_body") {
     // differential fixture from RUNNING heading_matcher.py on seeded
     // random (toc, headings) sets: number-prefixed/fuzzy/missing/noise
