@@ -74,7 +74,8 @@ object Headings {
     "decoration" -> Pattern.compile("^[◆◇■□●○▲△]+$"),
     "section-label" -> Pattern.compile("^Section\\s+\\d+\\.\\d+$", Pattern.UNICODE_CHARACTER_CLASS),
     "reference" -> Pattern.compile("^Webサイト$"),
-    "footnote" -> Pattern.compile("^注\\d+\\.\\d+")
+    // U flag: python \d = Unicode Nd ("注４９.8" IS a footnote)
+    "footnote" -> Pattern.compile("^注\\d+\\.\\d+", Pattern.UNICODE_CHARACTER_CLASS)
   )
 
   /** match_exclusion_pattern (analyzer.py:154-181): first match wins

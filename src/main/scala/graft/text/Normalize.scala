@@ -27,7 +27,10 @@ object Normalize {
 
   private val fullWidthDigits = "０１２３４５６７８９"
 
-  private val numberPattern = Pattern.compile("(\\d+)([-・\\.])\\d+(?:[-・\\.]\\d+)*")
+  // U flag: the reference pre-translates only FULL-WIDTH digits to ascii,
+  // but its \d still matches every other Unicode Nd digit (e.g. ٣-٤)
+  private val numberPattern = Pattern.compile("(\\d+)([-・\\.])\\d+(?:[-・\\.]\\d+)*",
+    Pattern.UNICODE_CHARACTER_CLASS)
 
   /** normalize_number_format (heading_normalizer.py:47-91):
     * full-width digits -> ASCII; full-width dot -> '.'; separators

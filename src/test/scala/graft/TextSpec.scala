@@ -10,6 +10,47 @@ import graft.text.Normalize
 
 class TextSpec extends AnyFunSuite {
 
+  test("200 random heading sets: analyzer pipeline == reference") {
+    // differential fixture from RUNNING analyze_headings +
+    // detect_running_head + apply_read_aloud_rules (scripts/
+    // gen_headings_random.py): dash-variant normalization merges,
+    // level tie-breaks, running-head thresholds, all static exclusion
+    // patterns
+    val lines = Fixtures.resourceLines("/fixtures/headings_random.golden.tsv")
+    var nPages = 0
+    var threshold = 0.5
+    var hs = Vector.empty[Heading]
+    var expP = Vector.empty[(String, Int, Boolean)]
+    var expY = Map.empty[String, (Int, Int, String, Boolean)]
+    var curCase = -1
+    var checked = 0
+    def flush(): Unit = if (curCase >= 0) {
+      val analyses = Headings.detectRunningHead(Headings.analyze(hs), nPages, threshold)
+      val gotY = analyses.map(a =>
+        a.text -> ((a.level, a.count, a.levels.mkString(","), a.isRunningHead))).toMap
+      assert(gotY == expY, s"case $curCase analyses:\n got $gotY\n exp $expY")
+      val processed = Headings.applyReadAloudRules(hs, analyses)
+      val gotP = processed.map(h => (h.text, h.level, h.readAloud))
+      assert(gotP == expP, s"case $curCase processed:\n got $gotP\n exp $expP")
+      checked += 1
+    }
+    lines.filter(_.nonEmpty).foreach { row =>
+      val f = row.split("\t", -1)
+      f(0) match {
+        case "A" =>
+          flush()
+          curCase = f(1).toInt; nPages = f(2).toInt; threshold = f(3).toDouble
+          hs = Vector.empty; expP = Vector.empty; expY = Map.empty
+        case "H" => hs :+= Heading(f(2).toInt, Fixtures.unesc(f(3)))
+        case "P" => expP :+= ((Fixtures.unesc(f(3)), f(4).toInt, f(5) == "1"))
+        case "Y" => expY += Fixtures.unesc(f(2)) ->
+          ((f(3).toInt, f(4).toInt, f(5), f(6) == "1"))
+      }
+    }
+    flush()
+    assert(checked == 200)
+  }
+
   test("400 random lines: page-marker recognizers == reference") {
     // differential fixture from RUNNING extract_page_number +
     // parse_page_metadata on adversarial marker-ish lines (full-width /
