@@ -10,6 +10,69 @@ import graft.text.Normalize
 
 class TextSpec extends AnyFunSuite {
 
+  test("300 random lines: toc/content/heading/list/figure recognizers == reference") {
+    // differential fixture from RUNNING parse_toc_marker,
+    // parse_content_marker, parse_heading_with_warning, is_list_line,
+    // parse_figure_comment, parse_figure_placeholder and parse_toc_lines
+    // on random lines / toc blocks — scripts/gen_lines_random.py
+    def mv(m: Option[Markers.Marker]): String = m.map {
+      case Markers.TocStart     => "toc_start"
+      case Markers.TocEnd       => "toc_end"
+      case Markers.ContentStart => "content_start"
+      case Markers.ContentEnd   => "content_end"
+      case Markers.SkipStart    => "skip_start"
+      case Markers.SkipEnd      => "skip_end"
+    }.getOrElse("")
+    var input = ""
+    var block = Vector.empty[String]
+    var expEntries = Vector.empty[(String, Int, String, String)]
+    var curCase = -1
+    var checked = 0
+    def flushToc(): Unit = if (curCase >= 0) {
+      val got = TocParse.parseTocLines(block)
+        .map(e => (e.text, e.level, e.number, e.page))
+      assert(got == expEntries,
+        s"case $curCase toc block ${block.mkString("|")}:\n got $got\n exp $expEntries")
+      checked += 1
+    }
+    Fixtures.resourceLines("/fixtures/lines_random.golden.tsv")
+      .filter(_.nonEmpty).foreach { row =>
+        val f = row.split("\t", -1)
+        f(0) match {
+          case "L" =>
+            flushToc()
+            curCase = f(1).toInt
+            input = Fixtures.unesc(f(2))
+            block = Vector.empty
+            expEntries = Vector.empty
+          case "R" =>
+            val c = f(1)
+            assert(mv(Markers.parseTocMarker(input)) == f(2), s"case $c toc marker '$input'")
+            assert(mv(Markers.parseContentMarker(input)) == f(3), s"case $c content marker '$input'")
+            val (h, warn) = Markers.parseHeadingWithWarning(input)
+            if (f(4) == "0") assert(h.isEmpty, s"case $c: unexpected heading for '$input'")
+            else {
+              assert(h.nonEmpty && h.get.level == f(5).toInt &&
+                h.get.text == Fixtures.unesc(f(6)), s"case $c heading: got $h for '$input'")
+            }
+            assert(warn == (if (f(7) == "1") Some(Fixtures.unesc(f(8))) else None),
+              s"case $c warning for '$input'")
+            val (isL, lType, lContent) = Markers.isListLine(input)
+            assert((isL, lType, lContent) ==
+              ((f(9) == "1", f(10), Fixtures.unesc(f(11)))), s"case $c list for '$input'")
+            assert(Markers.parseFigureComment(input) ==
+              (if (f(12) == "1") Some(Fixtures.unesc(f(13))) else None), s"case $c figc '$input'")
+            assert(Markers.parseFigurePlaceholder(input) ==
+              (if (f(14) == "1") Some(Fixtures.unesc(f(15))) else None), s"case $c figp '$input'")
+          case "T" => block :+= Fixtures.unesc(f(2))
+          case "E" => expEntries :+=
+            ((Fixtures.unesc(f(2)), f(3).toInt, Fixtures.unesc(f(4)), Fixtures.unesc(f(5))))
+        }
+      }
+    flushToc()
+    assert(checked == 300)
+  }
+
   test("200 random heading sets: analyzer pipeline == reference") {
     // differential fixture from RUNNING analyze_headings +
     // detect_running_head + apply_read_aloud_rules (scripts/
