@@ -10,6 +10,51 @@ import graft.text.Normalize
 
 class TextSpec extends AnyFunSuite {
 
+  test("300 random blocks: paragraph assembly == reference paragraph.py") {
+    // differential fixture from RUNNING parse_paragraph,
+    // parse_paragraph_lines, split_paragraphs and
+    // merge_continuation_paragraphs — scripts/gen_paragraphs_random.py
+    var block = Vector.empty[String]
+    var expS = Vector.empty[(String, Boolean)]
+    var expM = Vector.empty[(String, Boolean)]
+    var curCase = -1
+    var checked = 0
+    def flushSM(): Unit = if (curCase >= 0) {
+      val splits = Paragraphs.splitParagraphs(block.mkString("\n"))
+      assert(splits.map(p => (p.text, p.readAloud)) == expS,
+        s"case $curCase split:\n got ${splits.map(_.text)}\n exp ${expS.map(_._1)}")
+      val merged = Paragraphs.mergeContinuation(splits)
+      assert(merged.map(p => (p.text, p.readAloud)) == expM,
+        s"case $curCase merge:\n got ${merged.map(_.text)}\n exp ${expM.map(_._1)}")
+      checked += 1
+    }
+    def opt(f: Array[String]): Option[(String, Boolean)] =
+      if (f(2) == "1") Some((Fixtures.unesc(f(3)), f(4) == "1")) else None
+    Fixtures.resourceLines("/fixtures/paragraphs_random.golden.tsv")
+      .filter(_.nonEmpty).foreach { row =>
+        val f = row.split("\t", -1)
+        f(0) match {
+          case "B" =>
+            if (f(1).toInt != curCase) {
+              flushSM()
+              curCase = f(1).toInt
+              block = Vector.empty; expS = Vector.empty; expM = Vector.empty
+            }
+            block :+= Fixtures.unesc(f(2))
+          case "P" =>
+            val got = Paragraphs.parseParagraph(block).map(p => (p.text, p.readAloud))
+            assert(got == opt(f), s"case $curCase parseParagraph: got $got")
+          case "L" =>
+            val got = Paragraphs.parseParagraphLines(block).map(p => (p.text, p.readAloud))
+            assert(got == opt(f), s"case $curCase parseParagraphLines: got $got")
+          case "S" => expS :+= ((Fixtures.unesc(f(3)), f(4) == "1"))
+          case "M" => expM :+= ((Fixtures.unesc(f(3)), f(4) == "1"))
+        }
+      }
+    flushSM()
+    assert(checked == 300)
+  }
+
   test("300 random lines: toc/content/heading/list/figure recognizers == reference") {
     // differential fixture from RUNNING parse_toc_marker,
     // parse_content_marker, parse_heading_with_warning, is_list_line,
