@@ -10,6 +10,29 @@ import graft.text.Normalize
 
 class TextSpec extends AnyFunSuite {
 
+  test("400 random texts: heading normalization == reference heading_normalizer.py") {
+    // differential fixture from RUNNING normalize_number_format,
+    // normalize_spaces and is_special_marker (full-width + Arabic-Indic
+    // Nd digits, separator joins vs text hyphens, iterative space
+    // collapsing) — scripts/gen_normalize_random.py; gates the
+    // numberPattern Unicode-Nd fix
+    var checked = 0
+    Fixtures.resourceLines("/fixtures/normalize_random.golden.tsv")
+      .filter(_.nonEmpty).foreach { row =>
+        val f = row.split("\t", -1)
+        val c = f(1)
+        val in = Fixtures.unesc(f(2))
+        assert(Normalize.numberFormat(in) == Fixtures.unesc(f(3)),
+          s"case $c numberFormat('$in'): got ${Normalize.numberFormat(in)}")
+        assert(Normalize.spaces(in) == Fixtures.unesc(f(4)),
+          s"case $c spaces('$in'): got ${Normalize.spaces(in)}")
+        assert(Normalize.isSpecialMarker(in) == (f(5) == "1"),
+          s"case $c isSpecialMarker('$in')")
+        checked += 1
+      }
+    assert(checked == 400)
+  }
+
   test("300 random blocks: paragraph assembly == reference paragraph.py") {
     // differential fixture from RUNNING parse_paragraph,
     // parse_paragraph_lines, split_paragraphs and
