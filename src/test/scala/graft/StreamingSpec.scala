@@ -59,6 +59,41 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     query.stop()
   }
 
+  test("watermarked windowed agg: finalized windows == batch oracle, late events dropped") {
+    val ss = spark; import ss.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s"2026-01-01 $s")
+
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val q = graft.streaming.EventStream.windowedCounts(
+        input.toDF().toDF("ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("wcounts").outputMode("append").start()
+    // batch 1: two keys inside window [10:00, 10:10)
+    input.addData(Seq((t("10:00:10"), "view", 1.5), (t("10:03:00"), "view", 2.0),
+      (t("10:06:00"), "purchase", 10.0)))
+    q.processAllAvailable()
+    // batch 2: advances the watermark to 10:15 -> [10:00, 10:10) finalizes
+    input.addData(Seq((t("10:35:00"), "view", 3.0)))
+    q.processAllAvailable()
+    // batch 3: a LATE event for the already-finalized window (dropped) +
+    // an event advancing the watermark to 10:40 -> [10:30, 10:40) finalizes
+    input.addData(Seq((t("10:05:00"), "view", 99.0), (t("11:00:00"), "click", 1.0)))
+    q.processAllAvailable()
+
+    val got = spark.table("wcounts")
+      .select("w_start", "w_end", "event_type", "n", "sum_value")
+    // the batch oracle over the ON-TIME events, restricted to windows the
+    // watermark (10:40) finalized — the late 99.0 must NOT appear
+    val onTime = Seq((t("10:00:10"), "view", 1.5), (t("10:03:00"), "view", 2.0),
+      (t("10:06:00"), "purchase", 10.0), (t("10:35:00"), "view", 3.0),
+      (t("11:00:00"), "click", 1.0)).toDF("ts", "event_type", "value")
+    val expected = graft.streaming.EventStream.windowedCountsBatch(onTime)
+      .where(org.apache.spark.sql.functions.col("w_end") <= t("10:40:00"))
+    assert(got.count() == 3 && expected.count() == 3)
+    assert(got.except(expected).isEmpty && expected.except(got).isEmpty)
+    q.stop()
+  }
+
   test("streaming extraction == batch extraction over the same docs") {
     val ss = spark; import ss.implicits._
     implicit val sqlCtx = spark.sqlContext
