@@ -9,7 +9,9 @@ import graft.sink.Consolidate.RoverPage
   * (src/consolidate.py:16-91) on the same derived ROVER inputs — covers
   * the page-marker format, sorted-filename iteration, headings ->
   * `\n## x\n` rewriting, split/join newline semantics, and the
-  * physical-dir quirks (last-write-wins duplicates). */
+  * physical-dir quirks (last-write-wins duplicates). Offline campaigns
+  * (MdSweep): 200 generator + 60 fuzz + 100 disjoint-id + 120 variant
+  * books, all zero-diff. */
 class ConsolidateSpec extends AnyFunSuite {
 
   private def check(md: String, prefix: String, id: String): Unit = {
