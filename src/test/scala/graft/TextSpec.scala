@@ -10,6 +10,42 @@ import graft.text.Normalize
 
 class TextSpec extends AnyFunSuite {
 
+  test("250 random region sets: reading order + overlap removal == reference") {
+    // differential fixture from RUNNING sort_reading_order +
+    // remove_overlaps (scripts/gen_layout_random.py): strict mid_x column
+    // split, (y, TYPE_PRIORITY, x) ties, unknown types, same-type IoU>=0.5
+    // suppression with confidence ties
+    var width = 0
+    var regions = Vector.empty[Region]
+    var expO = Vector.empty[Int]
+    var expD = Vector.empty[Int]
+    var curCase = -1
+    var checked = 0
+    def flush(): Unit = if (curCase >= 0) {
+      val gotO = ReadingOrder.sortReadingOrder(regions, width)
+      assert(gotO == expO.map(regions), s"case $curCase sort:\n got $gotO\n exp ${expO.map(regions)}")
+      val gotD = ReadingOrder.removeOverlaps(regions)
+      assert(gotD == expD.map(regions), s"case $curCase overlaps:\n got $gotD\n exp ${expD.map(regions)}")
+      checked += 1
+    }
+    Fixtures.resourceLines("/fixtures/layout_random.golden.tsv")
+      .filter(_.nonEmpty).foreach { row =>
+        val f = row.split("\t", -1)
+        f(0) match {
+          case "G" =>
+            flush()
+            curCase = f(1).toInt; width = f(2).toInt
+            regions = Vector.empty; expO = Vector.empty; expD = Vector.empty
+          case "I" => regions :+=
+            Region(f(2), f(3).toInt, f(4).toInt, f(5).toInt, f(6).toInt, f(7).toDouble)
+          case "O" => expO :+= f(2).toInt
+          case "D" => expD :+= f(2).toInt
+        }
+      }
+    flush()
+    assert(checked == 250)
+  }
+
   test("400 random texts: heading normalization == reference heading_normalizer.py") {
     // differential fixture from RUNNING normalize_number_format,
     // normalize_spaces and is_special_marker (full-width + Arabic-Indic
