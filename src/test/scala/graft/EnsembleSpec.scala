@@ -118,6 +118,39 @@ class EnsembleSpec extends AnyFunSuite {
     assert(Ensemble.confidenceAreaFilter(rs, 1000, 1000).size == 1)
   }
 
+  test("400 random inputs: quality predicates + bbox math == reference") {
+    // differential fixture from RUNNING voting.is_garbage/bbox_iou/
+    // bbox_contains, layout_ocr_utils.calc_non_char_ratio/is_low_quality,
+    // and rover line_processing.is_garbage (python \w incl. Nl/No,
+    // repeat-run boundaries, degenerate boxes) —
+    // scripts/gen_predicates_random.py
+    var checked = 0
+    Fixtures.resourceLines("/fixtures/predicates_random.golden.tsv")
+      .filter(_.nonEmpty).foreach { row =>
+        val f = row.split("\t", -1)
+        val c = f(1)
+        f(0) match {
+          case "T" =>
+            val t = Fixtures.unesc(f(2))
+            assert(Ensemble.isGarbagePage(t) == (f(4) == "1"), s"case $c page garbage '$t'")
+            assert(math.abs(Ensemble.nonCharRatio(t) - f(5).toDouble) < 1e-12,
+              s"case $c nonCharRatio '$t': got ${Ensemble.nonCharRatio(t)} exp ${f(5)}")
+            assert(Ensemble.isLowQuality(t) == (f(6) == "1"), s"case $c low quality '$t'")
+            assert(Rover.isGarbage(t, f(3).toDouble) == (f(7) == "1"),
+              s"case $c line garbage '$t' conf=${f(3)}")
+            checked += 1
+          case "B" =>
+            val a = Region("X", f(2).toInt, f(3).toInt, f(4).toInt, f(5).toInt, 1.0)
+            val b = Region("X", f(6).toInt, f(7).toInt, f(8).toInt, f(9).toInt, 1.0)
+            assert(math.abs(graft.layout.ReadingOrder.iouUnion(a, b) - f(11).toDouble) < 1e-12,
+              s"case $c iou: got ${graft.layout.ReadingOrder.iouUnion(a, b)} exp ${f(11)}")
+            assert(Ensemble.bboxContains(a, b, f(10).toDouble) == (f(12) == "1"),
+              s"case $c contains")
+        }
+      }
+    assert(checked == 400)
+  }
+
   test("300 random pages: voteBestResult == reference vote_best_result") {
     // differential fixture from RUNNING voting.py (matrix over non-empty
     // results, thresholds 0.5/0.7/0.9, autojunk-straddling lengths,
