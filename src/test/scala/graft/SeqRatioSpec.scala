@@ -7,6 +7,29 @@ import graft.text.SeqRatio
   * the stdlib), plus algebraic properties on seeded random strings. */
 class SeqRatioSpec extends AnyFunSuite {
 
+  test("500 random pairs: ratio AND opcodes == CPython difflib exactly") {
+    // differential fixture from RUNNING SequenceMatcher (scripts/
+    // gen_difflib_random.py): autojunk-straddling lengths in CODE POINTS,
+    // popularity-heavy tiny alphabets, repeated-char strings, non-BMP —
+    // directly gates the primitive-array findLongestMatch rewrite
+    var checked = 0
+    Fixtures.resourceLines("/fixtures/difflib_random.golden.tsv")
+      .filter(_.nonEmpty).foreach { row =>
+        val f = row.split("\t", -1)
+        val c = f(1)
+        val a = Fixtures.unesc(f(2))
+        val b = Fixtures.unesc(f(3))
+        val m = new SeqRatio.Matcher(a, b)
+        assert(m.ratio == f(4).toDouble,
+          s"case $c ratio: got ${m.ratio} exp ${f(4)} (la=${a.length} lb=${b.length})")
+        val gotOps = m.opcodes.map(o => s"${o.tag},${o.i1},${o.i2},${o.j1},${o.j2}")
+          .mkString(";")
+        assert(gotOps == f(5), s"case $c opcodes:\n got $gotOps\n exp ${f(5)}")
+        checked += 1
+      }
+    assert(checked == 500)
+  }
+
   test("non-BMP: ratios count CODE POINTS like python (incl. autojunk flip)") {
     // golden values computed by running difflib.SequenceMatcher on these
     // exact pairs; a UTF-16 port gets every one wrong (the last one
