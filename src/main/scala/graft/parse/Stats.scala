@@ -24,22 +24,17 @@ object Stats {
     MarkerStats(toc, content, skip)
   }
 
-  /** CJK display width (cli/normalize_headings.py:17-51): east-asian
-    * Full/Wide/Ambiguous = 2 columns, else 1 (report rendering). */
+  /** CJK display width (cli/normalize_headings.py:17-26): east-asian
+    * Full/Wide/AMBIGUOUS = 2 columns, else 1 — exact unicodedata table
+    * ([[graft.text.EastAsianWidth]], generated), not an approximation:
+    * Ambiguous covers ±, §, Greek/Cyrillic, circled digits, which hand
+    * range tables miss. */
   def displayWidth(s: String): Int = {
     var w = 0
     var i = 0
     while (i < s.length) {
       val cp = s.codePointAt(i)
-      val wide = (cp >= 0x1100 && cp <= 0x115f) || // hangul jamo
-        (cp >= 0x2e80 && cp <= 0xa4cf) || // CJK radicals..yi
-        (cp >= 0xac00 && cp <= 0xd7a3) || // hangul syllables
-        (cp >= 0xf900 && cp <= 0xfaff) || // CJK compat ideographs
-        (cp >= 0xfe30 && cp <= 0xfe4f) || // CJK compat forms
-        (cp >= 0xff00 && cp <= 0xff60) || // fullwidth forms
-        (cp >= 0xffe0 && cp <= 0xffe6) ||
-        (cp >= 0x20000 && cp <= 0x3fffd)
-      w += (if (wide) 2 else 1)
+      w += (if (graft.text.EastAsianWidth.isWide(cp)) 2 else 1)
       i += Character.charCount(cp)
     }
     w

@@ -10,6 +10,22 @@ import graft.text.Normalize
 
 class TextSpec extends AnyFunSuite {
 
+  test("300 random texts: display width == reference _display_width") {
+    // differential fixture from RUNNING unicodedata-based _display_width
+    // (scripts/gen_width_random.py) — incl. the AMBIGUOUS east-asian
+    // class (±, §, Greek/Cyrillic, circled digits) = 2 columns
+    var checked = 0
+    Fixtures.resourceLines("/fixtures/width_random.golden.tsv")
+      .filter(_.nonEmpty).foreach { row =>
+        val f = row.split("\t", -1)
+        val t = Fixtures.unesc(f(2))
+        assert(graft.parse.Stats.displayWidth(t) == f(3).toInt,
+          s"case ${f(1)} width('$t'): got ${graft.parse.Stats.displayWidth(t)} exp ${f(3)}")
+        checked += 1
+      }
+    assert(checked == 300)
+  }
+
   test("250 random region sets: reading order + overlap removal == reference") {
     // differential fixture from RUNNING sort_reading_order +
     // remove_overlaps (scripts/gen_layout_random.py): strict mid_x column
