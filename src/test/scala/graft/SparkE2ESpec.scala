@@ -181,6 +181,27 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.toSet == Set(("d1", "d2")))
   }
 
+  test("dedup ops are partitioning-independent (1 vs 7 partitions)") {
+    val ss = spark; import ss.implicits._
+    // shuffle-order independence: the same corpus at different input
+    // partitionings must produce identical signatures and pairs — the
+    // invariant that makes results reproducible on any cluster layout
+    val docs = (0 until 120).map { i =>
+      (f"d$i%03d", s"doc $i body ${"tok " * (i % 9)} tail ${i % 4} shared suffix")
+    }.toDF("doc_id", "text")
+    val a = docs.repartition(1)
+    val b = docs.repartition(7, org.apache.spark.sql.functions.col("doc_id"))
+    val sigA = graft.ops.Dedup.minhashSignatures(a, bands = 4, shingleK = 5)
+    val sigB = graft.ops.Dedup.minhashSignatures(b, bands = 4, shingleK = 5)
+    assert(sigA.except(sigB).isEmpty && sigB.except(sigA).isEmpty)
+    val pairsA = graft.ops.Dedup.lshCandidatePairs(sigA, maxBucket = 50)
+    val pairsB = graft.ops.Dedup.lshCandidatePairs(sigB, maxBucket = 50)
+    assert(pairsA.except(pairsB).isEmpty && pairsB.except(pairsA).isEmpty)
+    val simA = graft.ops.Dedup.simhashPairs(a, maxDist = 16)
+    val simB = graft.ops.Dedup.simhashPairs(b, maxDist = 16)
+    assert(simA.except(simB).isEmpty && simB.except(simA).isEmpty)
+  }
+
   test("media plumbing: stub decode yields typed metadata for every figure") {
     val ss = spark; import ss.implicits._
     val docs = corpus(20)
