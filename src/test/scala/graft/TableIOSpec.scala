@@ -44,4 +44,23 @@ class TableIOSpec extends AnyFunSuite with BeforeAndAfterAll {
     val sub = graft.pipeline.Extract.spans(pruned).toDF()
     assert(sub.except(full).isEmpty && full.except(sub).isEmpty)
   }
+
+  test("format seam: the config flip works with a second real format (ORC)") {
+    // Iceberg has no offline jar (documented caveat), but the claim that
+    // switching formats is a pure config flip is testable with ORC, which
+    // ships with Spark: identical layout, identical round-trip, identical
+    // partition pruning — zero pipeline code change.
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val cfg = TableIO.Cfg(format = "orc", nBuckets = 8)
+    val docs = SyntheticCorpus.docs(spark, 30, partitions = 4)
+    TableIO.writeDocs(docs, dir, cfg)
+    val back = TableIO.readDocs(spark, dir, cfg)
+    assert(back.count() == 30)
+    assert(back.toDF().except(docs.toDF()).isEmpty && docs.toDF().except(back.toDF()).isEmpty)
+    val pruned = TableIO.readDocs(spark, dir, cfg, Some(Seq(0, 1)))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"ORC partition pruning missing:\n$plan")
+    assert(pruned.count() < 30)
+  }
 }
