@@ -30,6 +30,14 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // conventional median: even-length vectors average the two middle
+    // values (an odd rounds count, the default 3, is unaffected)
+    def median(v: Seq[Double]): Double = {
+      val s = v.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
+
     // >=3 repeat ROUNDS interleaved across queries (not back-to-back per
     // query): the sandbox VM freezes for tens of seconds at a time, and a
     // stall that lands inside one query's back-to-back repeats poisons
@@ -55,7 +63,7 @@ object Bench {
     val runs = (1 to extractRepeat).map(_ => time(graft.pipeline.Extract.run(docs).count()))
       .sorted
     val extractSec = runs.head
-    val extractMedian = runs(runs.length / 2)
+    val extractMedian = median(runs)
     val docsPerSec = nDocs / extractSec
 
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -71,7 +79,6 @@ object Bench {
         }
       }
     }
-    def median(v: Seq[Double]): Double = { val s = v.sorted; s(s.length / 2) }
     val med = names.map { case (k, _) =>
       k -> times.get(k).map(median).getOrElse(-1.0) }
     val best = names.map { case (k, _) =>

@@ -6,10 +6,14 @@ import org.apache.spark.sql.SparkSession
   *
   * Usage:
   *   spark-submit --class graft.Main <jar> extract   <inDir> <outDir> [buckets] [parallelism]
+  *                                                   [--format FMT]
   *   spark-submit --class graft.Main <jar> synth     <nDocs> <outDir> [buckets] [parallelism]
+  *                                                   [--format FMT]
   *   spark-submit --class graft.Main <jar> xml       <inDir> <outDir> [grouped]
- *                                                   [--header-levelN KEYWORDS]
- *   spark-submit --class graft.Main <jar> md        <inDir> <outDir>
+  *                                                   [--header-levelN KEYWORDS]
+  *                                                   [--running-head-threshold RATIO]
+  *                                                   [--format FMT]
+  *   spark-submit --class graft.Main <jar> md        <inDir> <outDir> [--format FMT]
   *
   * `extract` reads an input table with the input_hint shape
   * (doc_id string, spans array<struct<kind,text,media_ref,offset>>) from
@@ -17,6 +21,15 @@ import org.apache.spark.sql.SparkSession
   * generates the deterministic corpus first (for cluster rehearsal).
   * Both resume idempotently: rerunning after a kill skips committed
   * buckets (see pipeline/Checkpoint).
+  *
+  * `--format` (default parquet) is the [[graft.io.TableIO]] format seam:
+  * it selects the DataSource format for every corpus-table read AND for
+  * the staged bucket layout `synth`/`extract` write — `orc` is
+  * round-trip-proven in TableIOSpec; an Iceberg runtime would slot in the
+  * same way. Span/error/sink OUTPUT stays parquet: that is the
+  * downstream `spark.read.parquet(outDir)` contract, not the corpus
+  * table. `--running-head-threshold` (xml mode, default 0.5) mirrors the
+  * reference CLI (book_converter/cli.py:49-56).
   */
 object Main {
   def main(args: Array[String]): Unit = {
@@ -27,10 +40,12 @@ object Main {
       .getOrCreate()
     import spark.implicits._
 
-    args.toList match {
+    try args.toList match {
       case "extract" :: inDir :: outDir :: rest =>
-        val buckets = rest.headOption.map(_.toInt).getOrElse(256)
-        val par = rest.drop(1).headOption.map(_.toInt).getOrElse(4)
+        val (opts, pos) = parseOpts(rest, Set("--format"))
+        val fmt = opts.getOrElse("--format", "parquet")
+        val buckets = pos.headOption.map(_.toInt).getOrElse(256)
+        val par = pos.drop(1).headOption.map(_.toInt).getOrElse(4)
         // A corpus already in the bucket(doc_id) layout (Iceberg-style) is
         // consumed with per-bucket partition pruning — no staging pass and
         // no full rescans; a flat table is staged once by Checkpoint.run.
@@ -38,17 +53,21 @@ object Main {
         val manifests =
           if (isBucketPartitioned(spark, inDir))
             graft.pipeline.Checkpoint.runPartitioned(spark, inDir, outDir,
-              graft.io.TableIO.Cfg(nBuckets = buckets), parallelism = par)
+              graft.io.TableIO.Cfg(format = fmt, nBuckets = buckets), parallelism = par)
           else {
-            val docs = spark.read.parquet(inDir).as[graft.model.InputDoc]
-            graft.pipeline.Checkpoint.run(docs, outDir, buckets, parallelism = par)
+            val docs = spark.read.format(fmt).load(inDir).as[graft.model.InputDoc]
+            graft.pipeline.Checkpoint.run(docs, outDir, buckets, format = fmt,
+              parallelism = par)
           }
         report(outDir, manifests, spark)
       case "synth" :: nDocs :: outDir :: rest =>
-        val buckets = rest.headOption.map(_.toInt).getOrElse(64)
-        val par = rest.drop(1).headOption.map(_.toInt).getOrElse(4)
+        val (opts, pos) = parseOpts(rest, Set("--format"))
+        val fmt = opts.getOrElse("--format", "parquet")
+        val buckets = pos.headOption.map(_.toInt).getOrElse(64)
+        val par = pos.drop(1).headOption.map(_.toInt).getOrElse(4)
         val docs = graft.io.SyntheticCorpus.docs(spark, nDocs.toLong)
-        val manifests = graft.pipeline.Checkpoint.run(docs, outDir, buckets, parallelism = par)
+        val manifests = graft.pipeline.Checkpoint.run(docs, outDir, buckets, format = fmt,
+          parallelism = par)
         report(outDir, manifests, spark)
       case "xml" :: inDir :: outDir :: rest =>
         // formatter sink: one reference-parity book.xml string per doc;
@@ -56,19 +75,21 @@ object Main {
         // reference-rejected docs quarantined as error rows.
         // --header-levelN KEYWORDS (pipe-separated) mirrors the reference
         // CLI (book_converter/cli.py:66-73) and threads a
-        // HeaderLevelConfig into group_pages_by_toc.
-        val (config, positionals) = parseXmlOpts(rest)
+        // HeaderLevelConfig into group_pages_by_toc;
+        // --running-head-threshold RATIO mirrors cli.py:49-56.
+        val (opts, positionals) = parseOpts(rest, xmlFlags)
+        val config = headerConfig(opts)
+        val threshold = opts.get("--running-head-threshold")
+          .map(parseFloatArg("--running-head-threshold")).getOrElse(0.5)
+        val fmt = opts.getOrElse("--format", "parquet")
         val grouped = positionals.contains("grouped")
-        val docs =
-          if (isBucketPartitioned(spark, inDir))
-            graft.io.TableIO.readDocs(spark, inDir)
-          else spark.read.parquet(inDir).as[graft.model.InputDoc]
+        val docs = readCorpus(spark, inDir, fmt)
         val out =
           if (!grouped)
-            graft.sink.XmlBuilder.xml(docs).toDF("doc_id", "xml")
+            graft.sink.XmlBuilder.xml(docs, threshold).toDF("doc_id", "xml")
               .withColumn("error", org.apache.spark.sql.functions.lit(""))
           else docs.mapPartitions(_.map { d =>
-            scala.util.Try(graft.sink.GroupedXml.buildGroupedXml(d, config = config)) match {
+            scala.util.Try(graft.sink.GroupedXml.buildGroupedXml(d, threshold, config)) match {
               case scala.util.Success(x) => (d.doc_id, x, "")
               case scala.util.Failure(e) =>
                 (d.doc_id, "", e.getClass.getSimpleName + ": " +
@@ -84,14 +105,14 @@ object Main {
         val m = obs.get
         val errs = Option(m("errors")).map(_.asInstanceOf[Long]).getOrElse(0L)
         println(s"""{"docs":${m("docs")},"errors":$errs,"out":"$outDir"}""")
-      case "md" :: inDir :: outDir :: Nil =>
+      case "md" :: inDir :: outDir :: rest =>
         // consolidate sink (src/cli/consolidate.py step): one
         // reference-parity book.txt + book.md per doc; zero-page docs
         // (the reference raises) are quarantined as error rows
-        val docs =
-          if (isBucketPartitioned(spark, inDir))
-            graft.io.TableIO.readDocs(spark, inDir)
-          else spark.read.parquet(inDir).as[graft.model.InputDoc]
+        val (opts, positionals) = parseOpts(rest, Set("--format"))
+        if (positionals.nonEmpty)
+          throw CliError(s"error: unrecognized arguments: ${positionals.mkString(" ")}")
+        val docs = readCorpus(spark, inDir, opts.getOrElse("--format", "parquet"))
         import org.apache.spark.sql.functions.{count, lit, sum, when, col}
         val out = graft.sink.Consolidate.books(docs)
           .toDF("doc_id", "book_txt", "book_md", "error")
@@ -103,46 +124,84 @@ object Main {
         val errs = Option(m("errors")).map(_.asInstanceOf[Long]).getOrElse(0L)
         println(s"""{"docs":${m("docs")},"errors":$errs,"out":"$outDir"}""")
       case other =>
-        System.err.println(s"unknown args: $other (want: extract <in> <out> [buckets] | " +
-          "synth <nDocs> <out> [buckets] | " +
-          "xml <in> <out> [grouped] [--header-levelN KEYWORDS] | md <in> <out>)")
+        System.err.println(s"unknown args: $other (want: extract <in> <out> [buckets] " +
+          "[parallelism] [--format FMT] | synth <nDocs> <out> [buckets] [parallelism] " +
+          "[--format FMT] | xml <in> <out> [grouped] [--header-levelN KEYWORDS] " +
+          "[--running-head-threshold RATIO] [--format FMT] | md <in> <out> [--format FMT])")
+        sys.exit(2)
+    } catch {
+      case CliError(msg) =>
+        System.err.println(msg)
         sys.exit(2)
     }
     spark.stop()
   }
 
-  /** Parse xml-mode options: --header-levelN consumes its value (so a
-    * keyword value can't be misread as a positional), a repeated flag
-    * takes the LAST occurrence, and a flag missing its value exits 2 —
-    * argparse semantics (cli.py:66-73). Keywords are pipe-separated,
-    * stripped, empties dropped (HeaderLevelConfig.from_cli_args,
-    * models.py:286-313); config is None when no level was given. */
-  private def parseXmlOpts(rest: List[String])
-      : (Option[graft.group.Sections.HeaderLevelConfig], List[String]) = {
-    val flags = (1 to 5).map(n => s"--header-level$n").toSet
+  /** argparse-style usage error: main prints the message and exits 2. */
+  final case class CliError(msg: String) extends RuntimeException(msg)
+
+  private[graft] val xmlFlags: Set[String] =
+    (1 to 5).map(n => s"--header-level$n").toSet ++
+      Set("--running-head-threshold", "--format")
+
+  /** Parse `--flag VALUE` options: each flag consumes exactly one value
+    * (so a value can't be misread as a positional), a repeated flag takes
+    * the LAST occurrence, a flag missing its value errors (exit 2 from
+    * main), and an option-like value is rejected (argparse refuses
+    * option-like values with 'expected one argument' — cli.py:66-73).
+    * Unknown `--` tokens error like argparse's 'unrecognized arguments'. */
+  private[graft] def parseOpts(rest: List[String], allowed: Set[String])
+      : (Map[String, String], List[String]) = {
     val values = scala.collection.mutable.Map[String, String]()
     val positionals = List.newBuilder[String]
     var r = rest
     while (r.nonEmpty) r match {
-      case flag :: value :: tail if flags(flag) =>
+      case flag :: value :: tail if allowed(flag) && !value.startsWith("--") =>
         values(flag) = value // last occurrence wins
         r = tail
-      case flag :: Nil if flags(flag) =>
-        System.err.println(s"error: argument $flag: expected one argument")
-        sys.exit(2)
+      case flag :: _ if allowed(flag) =>
+        // at end of args, or the next token is itself option-like:
+        // argparse errors rather than consuming an option as a value
+        throw CliError(s"error: argument $flag: expected one argument")
+      case flag :: _ if flag.startsWith("--") =>
+        throw CliError(s"error: unrecognized arguments: $flag")
       case other :: tail =>
         positionals += other
         r = tail
       case Nil => ()
     }
+    (values.toMap, positionals.result())
+  }
+
+  /** --header-levelN keywords -> HeaderLevelConfig: pipe-separated,
+    * stripped, empties dropped (HeaderLevelConfig.from_cli_args,
+    * models.py:286-313); None when no level was given. */
+  private[graft] def headerConfig(opts: Map[String, String])
+      : Option[graft.group.Sections.HeaderLevelConfig] = {
     def level(n: Int): Vector[String] =
-      values.get(s"--header-level$n")
+      opts.get(s"--header-level$n")
         .map(_.split('|').toVector.map(graft.text.Py.strip).filter(_.nonEmpty))
         .getOrElse(Vector.empty)
     val cfg = graft.group.Sections.HeaderLevelConfig(
       level(1), level(2), level(3), level(4), level(5))
-    (if (cfg.hasAnyConfig) Some(cfg) else None, positionals.result())
+    if (cfg.hasAnyConfig) Some(cfg) else None
   }
+
+  /** argparse `type=float` semantics: a non-float value errors (exit 2). */
+  private[graft] def parseFloatArg(flag: String)(v: String): Double =
+    v.toDoubleOption.getOrElse(
+      throw CliError(s"error: argument $flag: invalid float value: '$v'"))
+
+  /** Corpus read through the TableIO format seam: a bucket-partitioned
+    * layout goes through TableIO.readDocs (partition pruning preserved);
+    * a flat table is read with the same DataSource format. */
+  private def readCorpus(spark: SparkSession, inDir: String, fmt: String)
+      : org.apache.spark.sql.Dataset[graft.model.InputDoc] =
+    if (isBucketPartitioned(spark, inDir))
+      graft.io.TableIO.readDocs(spark, inDir, graft.io.TableIO.Cfg(format = fmt))
+    else
+      spark.read.format(fmt).load(inDir)
+        .as[graft.model.InputDoc](org.apache.spark.sql.Encoders.product[graft.model.InputDoc])
 
   private def isBucketPartitioned(spark: SparkSession, dir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(dir)

@@ -133,9 +133,26 @@ object Dedup {
     out
   }
 
-  /** SimHash near-dup candidates: hamming distance <= maxDist via
-    * block-permutation buckets (4 blocks of 16 bits: dist<=3 pairs share
-    * at least one exact block — pigeonhole), then exact popcount check.
+  /** SimHash near-dup candidates: block-permutation buckets (the 64-bit
+    * signature split into nBlocks near-equal bit blocks; docs sharing any
+    * exact block become candidates), then exact popcount check
+    * (`bit_count(a ^ b) <= maxDist`).
+    *
+    * RECALL CONTRACT (pigeonhole): a pair at hamming distance d differs
+    * in at most d blocks, so d <= nBlocks - 1 GUARANTEES the pair shares
+    * at least one exact block — full recall. For maxDist > nBlocks - 1
+    * the bucket stage is PARTIAL-RECALL candidate generation: every
+    * emitted pair is still exact-verified (no false positives, ever),
+    * but a pair whose differing bits touch all nBlocks blocks is never
+    * considered (e.g. the defaults nBlocks=4 / 16-bit blocks with
+    * maxDist=16 miss pairs spreading 4+ flipped bits across all blocks
+    * — measured on random corpora in SparkE2ESpec, recall stays high
+    * because near-dup bit flips cluster, but it is NOT 1.0). Raising
+    * nBlocks to maxDist + 1 restores the guarantee at the cost of
+    * wider buckets (64 / nBlocks bits of key entropy each — at 17
+    * blocks a block key has ~4 bits, so buckets hold ~N/16 docs and
+    * maxBucket dominates). Choose: nBlocks = maxDist + 1 when recall
+    * must be exact, default 4 when candidates may be heuristic.
     *
     * maxBucket caps degenerate block buckets exactly like
     * [[lshCandidatePairs]]: a boilerplate-dominated corpus collapses to
@@ -151,18 +168,47 @@ object Dedup {
     * (blk, key) buckets — the safe default is suppression, with the
     * uncapped escape hatch explicit. Consequence: an exact-dup clique
     * larger than maxBucket reports NO pairs here (use [[exactDupGroups]]
-    * for exact dups — that is its job). */
+    * for exact dups — that is its job). The drop is OBSERVABLE: pass an
+    * [[org.apache.spark.sql.Observation]] as `suppressed` and read
+    * `suppressed_buckets` / `suppressed_rows` after the first action —
+    * a silent recall loss in production shows up as a nonzero metric
+    * (both are 0 when running uncapped).
+    *
+    * AQE caveat (measured on Spark 4.1): when the RESULT is entirely
+    * empty, AQEPropagateEmptyRelation replaces the plan with an empty
+    * relation and the metrics node is dropped — the Observation then
+    * resolves to an EMPTY map, never to false zeros. An empty map
+    * therefore means "result empty, metrics not delivered" (input empty,
+    * all pairs filtered, or everything suppressed — indistinguishable);
+    * zeros mean "nothing suppressed". For guaranteed delivery in that
+    * edge, exclude the rule around the first action:
+    * `spark.conf.set("spark.sql.adaptive.optimizer.excludedRules",
+    * "org.apache.spark.sql.execution.adaptive.AQEPropagateEmptyRelation")`
+    * (runtime-settable; SparkE2ESpec pins both behaviors). */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3, maxBucket: Int = 1000,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      nBlocks: Int = 4, idCol: String = "doc_id", textCol: String = "text",
+      suppressed: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    require(nBlocks >= 1 && nBlocks <= 64, s"nBlocks must be in [1, 64], got $nBlocks")
     // codegen Catalyst expression; the map stage over the full corpus
     // stays in whole-stage codegen. Null text hashes to 0L like the old
     // UDF's empty-token path (null keys would silently drop those rows
     // from the equi-join instead).
     val withSim = docs.select(col(idCol).as("doc_id"),
       coalesce(graft.functions.GraftColumns.simhash64(col(textCol)), lit(0L)).as("simhash"))
-    val blocks = withSim.select(col("doc_id"), col("simhash"),
-      explode(sequence(lit(0), lit(3))).as("blk"))
-      .withColumn("key", expr("(simhash >> (blk * 16)) & 65535"))
+    // 64 bits split as evenly as possible: the first (64 % nBlocks)
+    // blocks are one bit wider. nBlocks=4 gives the classic 4x16 layout.
+    val base = 64 / nBlocks
+    val rem = 64 % nBlocks
+    val widths = (0 until nBlocks).map(b => base + (if (b < rem) 1 else 0))
+    val starts = widths.scanLeft(0)(_ + _)
+    val keyCols = (0 until nBlocks).map { b =>
+      val mask = if (widths(b) >= 64) -1L else (1L << widths(b)) - 1L
+      struct(lit(b).as("blk"),
+        shiftrightunsigned(col("simhash"), starts(b)).bitwiseAND(lit(mask)).as("key"))
+    }
+    val blocks = withSim
+      .select(col("doc_id"), col("simhash"), explode(array(keyCols: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.blk").as("blk"), col("bk.key").as("key"))
     val pairs =
       if (maxBucket == Int.MaxValue) {
         // uncapped: classic block-bucket self-join (AQE splits hot buckets)
@@ -176,9 +222,16 @@ object Dedup {
         // (bounded by maxBucket), pairs expand in-row — no self-join.
         // sort_array orders struct members by doc_id (first field), so
         // in-row (i, j>i) expansion preserves the doc_a < doc_b contract.
-        val buckets = blocks
+        val bucketsAll = blocks
           .groupBy(col("blk"), col("key"))
           .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("members"))
+        // the suppression metric rides the same aggregation — no extra job
+        val bucketsObs = suppressed.fold(bucketsAll)(o => bucketsAll.observe(o,
+          sum(when(size(col("members")) > maxBucket, 1L).otherwise(0L))
+            .as("suppressed_buckets"),
+          sum(when(size(col("members")) > maxBucket, size(col("members")).cast("long"))
+            .otherwise(0L)).as("suppressed_rows")))
+        val buckets = bucketsObs
           .where(size(col("members")) >= 2 && size(col("members")) <= maxBucket)
         buckets
           .select(col("members"), posexplode(col("members")))
@@ -191,10 +244,16 @@ object Dedup {
           // join's strict < excludes them)
           .where(col("doc_a") < col("doc_b"))
       }
-    pairs
+    val result = pairs
       .distinct()
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .where(col("hamming") <= maxDist)
       .select("doc_a", "doc_b", "hamming")
+    // uncapped mode drops nothing: report zeros so a caller's Observation
+    // always resolves regardless of the maxBucket setting
+    if (maxBucket == Int.MaxValue)
+      suppressed.fold(result)(o => result.observe(o,
+        sum(lit(0L)).as("suppressed_buckets"), sum(lit(0L)).as("suppressed_rows")))
+    else result
   }
 }

@@ -110,18 +110,30 @@ object Similarity {
     *
     * Expected bucket size ~ N * bands / 2^planesPerBand; choose
     * planesPerBand so that stays under maxBucket at the target corpus
-    * size, and maxBucket caps the damage when the data is adversarial. */
+    * size, and maxBucket caps the damage when the data is adversarial.
+    * The cap's drop is observable like [[Dedup.simhashPairs]]: pass an
+    * Observation as `suppressed` and read `suppressed_buckets` /
+    * `suppressed_rows` after the first action. Same AQE caveat as there:
+    * an entirely-empty result drops the metrics node (empty map — never
+    * false zeros); exclude AQEPropagateEmptyRelation for delivery in
+    * that edge. */
   def embeddingNearDups(vectors: DataFrame, dimCount: Int, threshold: Double = 0.95,
       nPlanes: Int = 8, bands: Int = 4, maxBucket: Int = 4096, seed: Long = 42L,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      suppressed: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     // one row per (vector, band): band b uses planes [b*nPlanes, (b+1)*nPlanes)
     val sigs = vectors.select(col(idCol).as("id"), posexplode(array(
       (0 until bands).map(b => GraftColumns.srpBand(col(vecCol), b * nPlanes, nPlanes, seed)): _*
     )).as(Seq("band", "sig")))
     // capped bucket expansion (ids only — vectors join back for scoring)
-    val buckets = sigs
+    val bucketsAll = sigs
       .groupBy(col("band"), col("sig"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
+    val bucketsObs = suppressed.fold(bucketsAll)(o => bucketsAll.observe(o,
+      sum(when(size(col("ids")) > maxBucket, 1L).otherwise(0L)).as("suppressed_buckets"),
+      sum(when(size(col("ids")) > maxBucket, size(col("ids")).cast("long")).otherwise(0L))
+        .as("suppressed_rows")))
+    val buckets = bucketsObs
       .where(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
     val candidates = buckets
       .select(col("ids"), posexplode(col("ids")))

@@ -213,8 +213,8 @@ object Checkpoint {
     * Total input scans: 1 (stage) + 1 pruned read per bucket. */
   def run(docs: Dataset[InputDoc], outDir: String, nBuckets: Int = 16,
       runningHeadThreshold: Double = 0.5, failAtBucket: Int = -1,
-      parallelism: Int = 1): Vector[BucketManifest] = {
-    val cfg = TableIO.Cfg(nBuckets = nBuckets)
+      parallelism: Int = 1, format: String = "parquet"): Vector[BucketManifest] = {
+    val cfg = TableIO.Cfg(format = format, nBuckets = nBuckets)
     val staged = stage(docs, outDir, cfg)
     runPartitioned(docs.sparkSession, staged, outDir, cfg, runningHeadThreshold, failAtBucket,
       parallelism)

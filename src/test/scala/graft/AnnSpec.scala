@@ -178,9 +178,20 @@ class AnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ss = spark; import ss.implicits._
     // 30 identical vectors -> one bucket of 30 in every band; cap at 10
     val same = (0L until 30L).map(i => (i, Array.fill(8)(1.0f))).toDF("vec_id", "embedding")
-    val capped = Similarity.embeddingNearDups(same, dimCount = 8, threshold = 0.9,
-      nPlanes = 4, bands = 2, maxBucket = 10)
-    assert(capped.count() == 0) // bucket over cap -> no pairs proposed
+    // empty result -> metrics ride only with AQE empty-propagation
+    // excluded (see Dedup.simhashPairs scaladoc: documented AQE caveat)
+    val ruleKey = "spark.sql.adaptive.optimizer.excludedRules"
+    spark.conf.set(ruleKey,
+      "org.apache.spark.sql.execution.adaptive.AQEPropagateEmptyRelation")
+    try {
+      val obs = org.apache.spark.sql.Observation("neardup_suppressed")
+      val capped = Similarity.embeddingNearDups(same, dimCount = 8, threshold = 0.9,
+        nPlanes = 4, bands = 2, maxBucket = 10, suppressed = Some(obs))
+      assert(capped.count() == 0) // bucket over cap -> no pairs proposed
+      // the drop is not silent: both bands' degenerate buckets are reported
+      assert(obs.get("suppressed_buckets").asInstanceOf[Long] == 2L)
+      assert(obs.get("suppressed_rows").asInstanceOf[Long] == 60L)
+    } finally spark.conf.unset(ruleKey)
     val uncapped = Similarity.embeddingNearDups(same, dimCount = 8, threshold = 0.9,
       nPlanes = 4, bands = 2, maxBucket = 4096)
     assert(uncapped.count() == 30L * 29 / 2)

@@ -181,6 +181,73 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.toSet == Set(("d1", "d2")))
   }
 
+  test("simhash recall contract: exact at maxDist <= nBlocks-1, partial beyond") {
+    val ss = spark; import ss.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = (0 until 80).map { i =>
+      (f"d$i%03d", s"document $i ${"alpha " * (i % 11)}beta ${i % 3} ${"gamma " * (i % 5)}end")
+    }.toDF("doc_id", "text")
+    // ground truth: brute-force hamming join over the same signatures
+    val sims = docs
+      .select(col("doc_id"), graft.functions.GraftColumns.simhash64(col("text")).as("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def brute(maxDist: Int): Set[(String, String)] = (for {
+      (a, ha) <- sims; (b, hb) <- sims
+      if a < b && java.lang.Long.bitCount(ha ^ hb) <= maxDist
+    } yield (a, b)).toSet
+    def got(maxDist: Int, nBlocks: Int): Set[(String, String)] =
+      graft.ops.Dedup.simhashPairs(docs, maxDist = maxDist,
+          maxBucket = Int.MaxValue, nBlocks = nBlocks)
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // guaranteed region (pigeonhole): dist <= nBlocks - 1 -> full recall
+    assert(got(3, 4) == brute(3))
+    // beyond the guarantee the bucket stage is partial-recall candidate
+    // generation: emitted pairs are all true (exact popcount verify) but
+    // some true pairs are missed — the documented x_simhash_pairs regime
+    val truth16 = brute(16)
+    val heuristic16 = got(16, 4)
+    assert(heuristic16.subsetOf(truth16))
+    assert(truth16.nonEmpty)
+    // raising nBlocks to maxDist + 1 restores the pigeonhole guarantee
+    assert(got(16, 17) == truth16)
+  }
+
+  test("simhash suppressed-bucket drop is observable, zeros when uncapped") {
+    val ss = spark; import ss.implicits._
+    val same = (0 until 30).map(i => (f"s$i%03d", "identical boilerplate " * 5))
+      .toDF("doc_id", "text")
+    // identical docs -> one degenerate bucket of 30 per block; cap at 10.
+    // The result is entirely empty, so under default AQE the metrics node
+    // is pruned with the plan (documented caveat) — exclude
+    // AQEPropagateEmptyRelation around the action for delivery.
+    val ruleKey = "spark.sql.adaptive.optimizer.excludedRules"
+    spark.conf.set(ruleKey,
+      "org.apache.spark.sql.execution.adaptive.AQEPropagateEmptyRelation")
+    try {
+      val obs = org.apache.spark.sql.Observation("simhash_suppressed")
+      val out = graft.ops.Dedup.simhashPairs(same, maxDist = 3, maxBucket = 10,
+        suppressed = Some(obs))
+      assert(out.count() == 0)
+      assert(obs.get("suppressed_buckets").asInstanceOf[Long] == 4L)
+      assert(obs.get("suppressed_rows").asInstanceOf[Long] == 120L)
+    } finally spark.conf.unset(ruleKey)
+    // default AQE, empty result: the observation resolves to an EMPTY map
+    // (metrics node pruned) — never to false zeros
+    val obsPruned = org.apache.spark.sql.Observation("simhash_suppressed_pruned")
+    val outPruned = graft.ops.Dedup.simhashPairs(same, maxDist = 3, maxBucket = 10,
+      suppressed = Some(obsPruned))
+    assert(outPruned.count() == 0)
+    assert(obsPruned.get.isEmpty)
+    // uncapped mode resolves the caller's Observation with zeros (result
+    // non-empty -> no pruning, no conf needed)
+    val obs0 = org.apache.spark.sql.Observation("simhash_suppressed_zero")
+    val out0 = graft.ops.Dedup.simhashPairs(same, maxDist = 3, maxBucket = Int.MaxValue,
+      suppressed = Some(obs0))
+    assert(out0.count() == 435) // C(30, 2): the full exact-dup clique
+    assert(obs0.get("suppressed_buckets").asInstanceOf[Long] == 0L)
+    assert(obs0.get("suppressed_rows").asInstanceOf[Long] == 0L)
+  }
+
   test("dedup ops are partitioning-independent (1 vs 7 partitions)") {
     val ss = spark; import ss.implicits._
     // shuffle-order independence: the same corpus at different input
