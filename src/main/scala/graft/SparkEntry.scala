@@ -167,6 +167,8 @@ object SparkEntry {
     }),
 
     // ---- relational operator families (oracle-gated) ----------------------
+    "q_reading_order" -> ((s, dir) => readingOrderOracleQuery(s, dir)),
+    "q_phash_dedup" -> ((s, dir) => phashOracleQuery(s, dir)),
     "q_agg_lineitem" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -328,6 +330,57 @@ object SparkEntry {
   private val DashTo = "-------"
 
   def oracleSql: Map[String, String] = Map(
+    "q_reading_order" ->
+      // relational re-expression of sort_reading_order: L/R column cut at
+      // page mid-x (x1+x2 < 960 <=> center < 480), stable (y1, prio, x1)
+      // sort per column, left column first; generation index i is the
+      // stable-sort tiebreaker
+      """SELECT doc_id, string_agg(kind, ',' ORDER BY side, y1, prio, x1, i) AS rd_order
+         FROM (
+           SELECT doc_id, i, kind, x1, y1,
+                  CASE kind WHEN 'TITLE' THEN 0 WHEN 'TEXT' THEN 1
+                            WHEN 'CAPTION' THEN 2 WHEN 'FOOTNOTE' THEN 3
+                            WHEN 'FIGURE' THEN 4 WHEN 'TABLE' THEN 5
+                            ELSE 99 END AS prio,
+                  CASE WHEN x1 + x2 < 960 THEN 0 ELSE 1 END AS side
+           FROM (
+             SELECT d.doc_id, i.i,
+                    CASE ((d.doc_id * 37 + i.i * 101) % 6)
+                      WHEN 0 THEN 'TITLE' WHEN 1 THEN 'TEXT' WHEN 2 THEN 'CAPTION'
+                      WHEN 3 THEN 'FIGURE' WHEN 4 THEN 'TABLE'
+                      ELSE 'FOOTNOTE' END AS kind,
+                    ((d.doc_id * 37 + i.i * 101) * 7) % 900 AS x1,
+                    ((d.doc_id * 37 + i.i * 101) * 13) % 1200 AS y1,
+                    ((d.doc_id * 37 + i.i * 101) * 7) % 900 + 40
+                      + ((d.doc_id * 37 + i.i * 101) * 3) % 120 AS x2
+             FROM documents d, (SELECT unnest(range(0, 8)) AS i) i
+           )
+         ) GROUP BY doc_id""",
+    "q_phash_dedup" ->
+      // the sequential keep-vs-last-kept pass replayed as a recursive CTE:
+      // each step keeps the next frame at hamming >= 8 from the LAST KEPT
+      """WITH RECURSIVE frames AS (
+           SELECT d.doc_id, i.idx,
+                  CAST(sum(CASE WHEN
+                    (((d.doc_id * (b.b + 3) + (i.idx // 5) * (b.b + 11)) % 7) < 3)
+                    != (((d.doc_id + i.idx * 17 + b.b * 29) % 40) = 0)
+                  THEN (1::BIGINT << b.b) ELSE 0 END) AS BIGINT) AS h
+           FROM documents d,
+                (SELECT unnest(range(1, 61)) AS idx) i,
+                (SELECT unnest(range(0, 60)) AS b) b
+           GROUP BY d.doc_id, i.idx
+         ), keep AS (
+           SELECT doc_id, idx, h FROM frames WHERE idx = 1
+           UNION ALL
+           SELECT f.doc_id, f.idx, f.h
+           FROM keep k JOIN frames f
+             ON f.doc_id = k.doc_id
+            AND f.idx = (SELECT min(f2.idx) FROM frames f2
+                         WHERE f2.doc_id = k.doc_id AND f2.idx > k.idx
+                           AND bit_count(xor(f2.h, k.h)) >= 8)
+         )
+         SELECT doc_id, 60 AS n_frames, CAST(count(*) AS INT) AS n_unique
+         FROM keep GROUP BY doc_id""",
     "q_agg_lineitem" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
@@ -554,6 +607,58 @@ object SparkEntry {
       val sorted = graft.layout.ReadingOrder.sortReadingOrder(cleaned, 960)
       (id, sorted.map(_.kind).mkString(","), regions.length - cleaned.length)
     }.toDF("doc_id", "order", "n_removed")
+  }
+
+  /** Reading order over DETERMINISTIC-ARITHMETIC regions (no JVM Random —
+    * the DuckDB oracle reproduces the same 8 regions per doc with pure
+    * integer expressions) ordered by the REAL operator
+    * ([[graft.layout.ReadingOrder.sortReadingOrder]]): the oracle SQL
+    * re-expresses the L/R column cut + stable (y, prio, x) sort
+    * relationally, so this promotes the x_reading_order rows-gate to a
+    * full rows+schema+hash gate (reference semantics:
+    * src/layout/reading_order.py:22-65). */
+  private def readingOrderOracleQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val kinds = Vector("TITLE", "TEXT", "CAPTION", "FIGURE", "TABLE", "FOOTNOTE")
+    s.read.parquet(s"$dir/documents.parquet").select(col("doc_id")).as[Long].map { id =>
+      val regions = (0 until 8).map { i =>
+        val v = id * 37 + i * 101
+        val x1 = ((v * 7) % 900).toInt
+        val y1 = ((v * 13) % 1200).toInt
+        Region(kinds((v % 6).toInt), x1, y1,
+          x1 + 40 + ((v * 3) % 120).toInt, y1 + 30 + ((v * 5) % 80).toInt, 1.0)
+      }
+      (id, graft.layout.ReadingOrder.sortReadingOrder(regions, 960).map(_.kind).mkString(","))
+    }.toDF("doc_id", "rd_order")
+  }
+
+  /** Keep-vs-last-kept phash dedup over deterministic-arithmetic frame
+    * hashes (12 scenes x 5 near-dup frames + per-bit noise, 60-bit
+    * hashes both engines can rebuild), deduped by the REAL stateful
+    * operator ([[PhashDedup.dedupe]], threshold 8); the DuckDB oracle
+    * replays the sequential pass as a recursive CTE — promoting the
+    * x_phash_dedup rows-gate to rows+schema+hash (reference semantics:
+    * src/preprocessing/deduplicate.py:9-66). */
+  private def phashOracleQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"))
+    // relational generation (explode + partial-agg sum) mirrors the SQL:
+    // bit b of frame idx = base-scene predicate XOR sparse noise predicate
+    val frames = docs
+      .select(col("doc_id"), explode(sequence(lit(1), lit(60))).as("idx"))
+      .select(col("doc_id"), col("idx"), explode(sequence(lit(0), lit(59))).as("b"))
+      .withColumn("base",
+        (col("doc_id") * (col("b") + 3) + expr("idx div 5") * (col("b") + 11)) % 7 < 3)
+      .withColumn("noise", (col("doc_id") + col("idx") * 17 + col("b") * 29) % 40 === 0)
+      .groupBy(col("doc_id"), col("idx"))
+      .agg(sum(when(col("base") =!= col("noise"),
+        expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0L)).as("h"))
+    frames
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("idx"), col("h")))).as("fs"))
+      .as[(Long, Seq[(Int, Long)])]
+      .map { case (id, fs) => (id, fs.length, PhashDedup.dedupe(fs).length) }
+      .toDF("doc_id", "n_frames", "n_unique")
   }
 
   private def phashQuery(s: SparkSession, dir: String): DataFrame = {

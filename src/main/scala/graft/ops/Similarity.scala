@@ -151,56 +151,76 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
   }
 
-  /** IVF (inverted-file) ANN — the classic scale path: a coarse k-means
-    * quantizer (MLlib, fixed seed, trained on a bounded sample — the
-    * quantizer needs cluster geometry, not the full corpus) partitions
-    * the corpus into nLists cells; a query scores only its nProbe
-    * nearest cells. Returns the same schema as bruteForceTopK; recall
-    * depends on nProbe (benchmarked, not oracle-gated).
-    * Ids must be NUMERIC (cast to long) — the same contract
-    * bruteForceTopK has. */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5, nLists: Int = 16,
-      nProbe: Int = 4, maxTrain: Int = 100000,
+  /** Persisted IVF coarse quantizer — the production lifecycle at corpus
+    * scale is fit ONCE on a bounded sample, save, then reuse across many
+    * query batches over a cell-assigned corpus that is itself a persisted
+    * artifact (assignment is incremental: new corpus partitions are
+    * assigned as they arrive, never re-assigning the world). The fused
+    * [[ivfTopK]] remains as the one-shot convenience and is literally
+    * `query(assign(corpus, fit(corpus)), …)` — AnnSpec pins the
+    * equivalence and the save/load round-trip. */
+  final case class IvfModel(centroids: Array[Array[Double]]) {
+    def nLists: Int = centroids.length
+
+    /** Durable centroids: one (cell, centroid) row each — trivially tiny
+      * (nLists x dim doubles), readable by anything that reads parquet. */
+    def save(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+      import spark.implicits._
+      centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+        .toDF("cell", "centroid")
+        .repartition(1)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+    }
+  }
+
+  object IvfModel {
+    /** Train the coarse quantizer on a bounded seeded sample (the
+      * quantizer needs cluster geometry, not the full corpus — at 10^12
+      * rows it sees ~maxTrain vectors). Random init (seeded): k-means||
+      * costs ~k extra passes over the training sample for marginal
+      * quantizer quality at nLists << sample size (recall gates in
+      * AnnSpec hold either way). */
+    def fit(corpus: DataFrame, nLists: Int = 16, maxTrain: Int = 100000,
+        idCol: String = "vec_id", vecCol: String = "embedding"): IvfModel = {
+      import org.apache.spark.ml.linalg.Vectors
+      import org.apache.spark.ml.clustering.KMeans
+      val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
+      val n = corpus.count()
+      val fraction = math.min(1.0, maxTrain.toDouble / math.max(n, 1L))
+      val trainRows =
+        if (fraction >= 1.0) corpus else corpus.sample(withReplacement = false, fraction, 42L)
+      val train = trainRows.select(col(idCol).as("id"), toVec(col(vecCol)).as("features"))
+      val model = new KMeans().setK(nLists).setSeed(42L).setMaxIter(10)
+        .setInitMode("random").fit(train)
+      IvfModel(model.clusterCenters.map(_.toArray))
+    }
+
+    def load(spark: org.apache.spark.sql.SparkSession, path: String): IvfModel = {
+      import spark.implicits._
+      val rows = spark.read.parquet(path)
+        .select(col("cell").cast("int"), col("centroid"))
+        .as[(Int, Array[Double])].collect().sortBy(_._1)
+      require(rows.nonEmpty, s"no centroids at $path")
+      require(rows.map(_._1).toSeq == (0 until rows.length),
+        s"centroid cells at $path are not dense 0..${rows.length - 1}")
+      IvfModel(rows.map(_._2))
+    }
+  }
+
+  /** Cell-assign a corpus against a fixed quantizer — the CORPUS-SIZED
+    * stage: primitive double loops in mapPartitions (no interpreted UDF
+    * in the hot path); sequential strict-< scan keeps the lowest index on
+    * distance ties, matching the query side's (distance, index) sort.
+    * Output (neighbor_id, cvec, cell) is the persistable artifact: write
+    * it partitioned by cell and future query batches prune to their
+    * probed cells; appending a new corpus slice assigns ONLY that slice.
+    * Ids must be NUMERIC (cast to long) — bruteForceTopK's contract. */
+  def ivfAssign(corpus: DataFrame, model: IvfModel,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.ml.linalg.Vectors
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.sql.expressions.Window
     val spark = corpus.sparkSession
     import spark.implicits._
-
-    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
-    // bounded training sample: metadata-cheap count -> seeded fraction.
-    // At 10^12 rows the quantizer sees ~maxTrain vectors, not the corpus.
-    val n = corpus.count()
-    val fraction = math.min(1.0, maxTrain.toDouble / math.max(n, 1L))
-    val trainRows =
-      if (fraction >= 1.0) corpus else corpus.sample(withReplacement = false, fraction, 42L)
-    val train = trainRows.select(col(idCol).as("id"), toVec(col(vecCol)).as("features"))
-    // random init (seeded): k-means|| costs ~k extra passes over the
-    // training sample to pick smarter seeds, which matters for quantizer
-    // QUALITY only marginally at nLists<<sample size — recall gates in
-    // AnnSpec hold; at 10 iterations the centroids converge either way
-    val model = new KMeans().setK(nLists).setSeed(42L).setMaxIter(10)
-      .setInitMode("random").fit(train)
-    val centroids = model.clusterCenters.map(_.toArray)
-    val bcCentroids = spark.sparkContext.broadcast(centroids)
-
-    def nearestCells(nCells: Int) = udf((a: Seq[Float]) => {
-      val v = a.map(_.toDouble).toArray
-      bcCentroids.value.zipWithIndex.map { case (c, i) =>
-        var d = 0.0; var j = 0
-        while (j < v.length) { val t = v(j) - c(j); d += t * t; j += 1 }
-        (d, i)
-      }.sortBy(x => (x._1, x._2)).take(nCells).map(_._2)
-    })
-
-    // corpus-side cell assignment is the CORPUS-SIZED stage: primitive
-    // double loops in mapPartitions (no interpreted UDF in the hot path);
-    // sequential strict-< scan keeps the lowest index on distance ties,
-    // matching the (distance, index) sort above. The query side stays a
-    // UDF — it is |Q| rows by contract.
-    val assigned = corpus.select(col(idCol).cast("long").as("neighbor_id"),
-        col(vecCol).as("cvec"))
+    val bcCentroids = spark.sparkContext.broadcast(model.centroids)
+    corpus.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("cvec"))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val cents = bcCentroids.value
@@ -219,8 +239,28 @@ object Similarity {
           (id, v, bestI)
         }
       }.toDF("neighbor_id", "cvec", "cell")
+  }
+
+  /** Query a cell-assigned corpus (the [[ivfAssign]] schema, fresh or
+    * reloaded from its persisted form): each query scores only its
+    * nProbe nearest cells. The query side stays a UDF — |Q| rows by
+    * contract. Returns the bruteForceTopK schema; recall depends on
+    * nProbe (benchmarked, not oracle-gated). */
+  def ivfQuery(assigned: DataFrame, model: IvfModel, queries: DataFrame, k: Int = 5,
+      nProbe: Int = 4, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = assigned.sparkSession
+    val bcCentroids = spark.sparkContext.broadcast(model.centroids)
+    val nearestCells = udf((a: Seq[Float]) => {
+      val v = a.map(_.toDouble).toArray
+      bcCentroids.value.zipWithIndex.map { case (c, i) =>
+        var d = 0.0; var j = 0
+        while (j < v.length) { val t = v(j) - c(j); d += t * t; j += 1 }
+        (d, i)
+      }.sortBy(x => (x._1, x._2)).take(nProbe).map(_._2)
+    })
     val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
-      explode(nearestCells(nProbe)(col(vecCol))).as("cell"))
+      explode(nearestCells(col(vecCol))).as("cell"))
     val scored = assigned.join(broadcast(probes), Seq("cell"))
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", cosine(col("qvec"), col("cvec")))
@@ -229,6 +269,18 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("sim"), 4).as("sim"))
+  }
+
+  /** One-shot IVF ANN: fit + assign + query fused. Correct per call, but
+    * the WRONG lifecycle for repeated use at scale — refitting the
+    * quantizer and re-assigning the corpus per query batch is exactly
+    * what the split [[IvfModel.fit]]/[[ivfAssign]]/[[ivfQuery]] path
+    * exists to avoid. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5, nLists: Int = 16,
+      nProbe: Int = 4, maxTrain: Int = 100000,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val model = IvfModel.fit(corpus, nLists, maxTrain, idCol, vecCol)
+    ivfQuery(ivfAssign(corpus, model, idCol, vecCol), model, queries, k, nProbe, idCol, vecCol)
   }
 
   /** All XOR masks within hamming distance <= depth of 0 over nPlanes

@@ -56,6 +56,45 @@ class AnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     // IVF sims must be true cosines: every returned pair's sim matches brute when shared
   }
 
+  test("IVF lifecycle split: fit-once/assign-once/query-many == fused call") {
+    val queries = emb.where(col("vec_id") < 10)
+    val fused = Similarity.ivfTopK(emb, queries, k = 5).collect().toSet
+    // the production path: one fit, one assignment, N query batches
+    val model = Similarity.IvfModel.fit(emb)
+    val assigned = Similarity.ivfAssign(emb, model).cache()
+    try {
+      val split = Similarity.ivfQuery(assigned, model, queries, k = 5).collect().toSet
+      assert(split == fused)
+      // query-many: a second, different batch against the SAME artifacts
+      val queries2 = emb.where(col("vec_id") >= 10 && col("vec_id") < 15)
+      val batch2 = Similarity.ivfQuery(assigned, model, queries2, k = 5)
+      assert(batch2.select("query_id").distinct().count() == 5)
+    } finally assigned.unpersist()
+  }
+
+  test("IVF model save/load round-trip; persisted cell-assigned corpus queries equal") {
+    val queries = emb.where(col("vec_id") < 10)
+    val model = Similarity.IvfModel.fit(emb)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    model.save(spark, s"$dir/centroids")
+    val reloaded = Similarity.IvfModel.load(spark, s"$dir/centroids")
+    assert(reloaded.nLists == model.nLists)
+    assert(reloaded.centroids.map(_.toVector).toVector ==
+      model.centroids.map(_.toVector).toVector)
+    // the assigned corpus is itself a durable artifact: write partitioned
+    // by cell (future query batches prune to probed cells), read back,
+    // query with the RELOADED model — identical results
+    Similarity.ivfAssign(emb, model)
+      .write.partitionBy("cell").parquet(s"$dir/assigned")
+    val reread = spark.read.parquet(s"$dir/assigned")
+      .select(org.apache.spark.sql.functions.col("neighbor_id"),
+        org.apache.spark.sql.functions.col("cvec"),
+        org.apache.spark.sql.functions.col("cell").cast("int").as("cell"))
+    val fromDisk = Similarity.ivfQuery(reread, reloaded, queries, k = 5).collect().toSet
+    val direct = Similarity.ivfTopK(emb, queries, k = 5).collect().toSet
+    assert(fromDisk == direct)
+  }
+
   test("IVF quantizer trained on a forced 20% sample keeps recall@5 >= 0.4") {
     // the 100-TB path: KMeans sees ~maxTrain vectors, never the corpus
     val queries = emb.where(col("vec_id") < 10)
