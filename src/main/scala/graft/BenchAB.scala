@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Same-JVM A/B benchmark: runs two variants of a query INTERLEAVED in
+  * one session (A,B,B,A,A,B,… — order alternates per round so ordering
+  * bias cancels), reporting per-query medians and the A/B ratio.
+  *
+  * Purpose: the sandbox VM's cross-run variance (documented 5x windows in
+  * BASELINE.md) makes per-round driver bench records incomparable across
+  * rounds. Within ONE JVM + one interleaved schedule, that weather hits
+  * both variants equally, so the ratio isolates real code cost:
+  *   - identical-code pairs (A == B == HEAD) measure the same-JVM noise
+  *     envelope — a cross-round drift smaller than this envelope is
+  *     weather, not regression;
+  *   - parameter pairs (e.g. simhashPairs capped vs uncapped) measure a
+  *     real implementation delta under controlled conditions.
+  *
+  * Usage: runMain graft.BenchAB [pairName ...]   (default: all pairs)
+  * Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+  *      SPARK_GRAFT_CPUS (default 32), BENCH_AB_ROUNDS (default 5).
+  * Prints one JSON line per pair plus a summary line.
+  */
+object BenchAB {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** (name, variantA, variantB). Identical-code pairs use the SAME
+    * function object twice — any measured ratio is pure environment. */
+  def pairs: Map[String, (Q, Q)] = {
+    def same(name: String): (Q, Q) = (SparkEntry.queries(name), SparkEntry.queries(name))
+    Map(
+      // the three queries whose r02->r03 driver-bench drift had NO code
+      // change (verified by git diff) — expected verdict: weather
+      "q_lsh_jaccard" -> same("q_lsh_jaccard"),
+      "q_lsh_pairs" -> same("q_lsh_pairs"),
+      "x_extract_relational" -> same("x_extract_relational"),
+      // the one REAL r03 cost: default-on simhash cap (collect_list agg)
+      // vs the classic uncapped self-join it replaced
+      "simhash_cap_vs_uncapped" -> (
+        ((s: SparkSession, dir: String) => graft.ops.Dedup.simhashPairs(
+          s.read.parquet(s"$dir/documents.parquet")
+            .withColumn("doc_id", org.apache.spark.sql.functions.col("doc_id").cast("string")),
+          maxDist = 16)),
+        ((s: SparkSession, dir: String) => graft.ops.Dedup.simhashPairs(
+          s.read.parquet(s"$dir/documents.parquet")
+            .withColumn("doc_id", org.apache.spark.sql.functions.col("doc_id").cast("string")),
+          maxDist = 16, maxBucket = Int.MaxValue)))
+    )
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val rounds = sys.env.getOrElse("BENCH_AB_ROUNDS", "5").toInt
+    val selected = if (args.isEmpty) pairs.keys.toSeq.sorted else args.toSeq
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def median(v: Seq[Double]): Double = {
+      val s = v.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
+
+    val results = selected.map { name =>
+      val (qa, qb) = pairs(name)
+      // warmup both variants (JIT + codegen), then interleave
+      qa(spark, sfDir).count(); qb(spark, sfDir).count()
+      val as = Vector.newBuilder[Double]
+      val bs = Vector.newBuilder[Double]
+      (0 until rounds).foreach { r =>
+        if (r % 2 == 0) { as += time(qa(spark, sfDir).count()); bs += time(qb(spark, sfDir).count()) }
+        else { bs += time(qb(spark, sfDir).count()); as += time(qa(spark, sfDir).count()) }
+      }
+      val (ma, mb) = (median(as.result()), median(bs.result()))
+      val ratio = if (ma > 0) mb / ma else -1.0
+      println(f"""{"pair":"$name","a_median":$ma%.3f,"b_median":$mb%.3f,"b_over_a":$ratio%.3f,"a_runs":[${as.result().map(t => f"$t%.3f").mkString(",")}],"b_runs":[${bs.result().map(t => f"$t%.3f").mkString(",")}]}""")
+      (name, ma, mb, ratio)
+    }
+    val identical = results.filter { case (n, _, _, _) => n.startsWith("q_") || n.startsWith("x_") }
+    val envelope = if (identical.nonEmpty)
+      identical.map { case (_, _, _, r) => math.max(r, 1.0 / r) }.max else -1.0
+    println(f"""{"metric":"ab_summary","pairs":${results.size},"rounds":$rounds,"identical_pair_envelope":$envelope%.3f,"sf":"$sfDir","cpus":$cpus}""")
+    spark.stop()
+  }
+}

@@ -6,9 +6,9 @@ import org.apache.spark.sql.SparkSession
   *
   * Usage:
   *   spark-submit --class graft.Main <jar> extract   <inDir> <outDir> [buckets] [parallelism]
-  *                                                   [--format FMT]
+  *                                                   [--format FMT] [--metrics MODE]
   *   spark-submit --class graft.Main <jar> synth     <nDocs> <outDir> [buckets] [parallelism]
-  *                                                   [--format FMT]
+  *                                                   [--format FMT] [--metrics MODE]
   *   spark-submit --class graft.Main <jar> xml       <inDir> <outDir> [grouped]
   *                                                   [--header-levelN KEYWORDS]
   *                                                   [--running-head-threshold RATIO]
@@ -42,7 +42,7 @@ object Main {
 
     try args.toList match {
       case "extract" :: inDir :: outDir :: rest =>
-        val (opts, pos) = parseOpts(rest, Set("--format"))
+        val (opts, pos) = parseOpts(rest, Set("--format", "--metrics"))
         val fmt = opts.getOrElse("--format", "parquet")
         val buckets = pos.headOption.map(_.toInt).getOrElse(256)
         val par = pos.drop(1).headOption.map(_.toInt).getOrElse(4)
@@ -53,21 +53,22 @@ object Main {
         val manifests =
           if (isBucketPartitioned(spark, inDir))
             graft.pipeline.Checkpoint.runPartitioned(spark, inDir, outDir,
-              graft.io.TableIO.Cfg(format = fmt, nBuckets = buckets), parallelism = par)
+              graft.io.TableIO.Cfg(format = fmt, nBuckets = buckets), parallelism = par,
+              metricsMode = metricsMode(opts))
           else {
             val docs = spark.read.format(fmt).load(inDir).as[graft.model.InputDoc]
             graft.pipeline.Checkpoint.run(docs, outDir, buckets, format = fmt,
-              parallelism = par)
+              parallelism = par, metricsMode = metricsMode(opts))
           }
         report(outDir, manifests, spark)
       case "synth" :: nDocs :: outDir :: rest =>
-        val (opts, pos) = parseOpts(rest, Set("--format"))
+        val (opts, pos) = parseOpts(rest, Set("--format", "--metrics"))
         val fmt = opts.getOrElse("--format", "parquet")
         val buckets = pos.headOption.map(_.toInt).getOrElse(64)
         val par = pos.drop(1).headOption.map(_.toInt).getOrElse(4)
         val docs = graft.io.SyntheticCorpus.docs(spark, nDocs.toLong)
         val manifests = graft.pipeline.Checkpoint.run(docs, outDir, buckets, format = fmt,
-          parallelism = par)
+          parallelism = par, metricsMode = metricsMode(opts))
         report(outDir, manifests, spark)
       case "xml" :: inDir :: outDir :: rest =>
         // formatter sink: one reference-parity book.xml string per doc;
@@ -186,6 +187,19 @@ object Main {
       level(1), level(2), level(3), level(4), level(5))
     if (cfg.hasAnyConfig) Some(cfg) else None
   }
+
+  /** --metrics observe|readback (default observe; see
+    * [[graft.pipeline.Checkpoint.MetricsMode]] and the BASELINE.md
+    * measurement that picked the default). */
+  private[graft] def metricsMode(opts: Map[String, String])
+      : graft.pipeline.Checkpoint.MetricsMode =
+    opts.get("--metrics") match {
+      case None | Some("observe") => graft.pipeline.Checkpoint.MetricsObserve
+      case Some("readback")       => graft.pipeline.Checkpoint.MetricsReadBack
+      case Some(v) =>
+        throw CliError(s"error: argument --metrics: invalid choice: '$v' " +
+          "(choose from 'observe', 'readback')")
+    }
 
   /** argparse `type=float` semantics: a non-float value errors (exit 2). */
   private[graft] def parseFloatArg(flag: String)(v: String): Double =

@@ -84,38 +84,101 @@ object Checkpoint {
     }
   }
 
+  /** Manifest-metrics strategy (VERDICT_r03 #6, measured in BASELINE.md):
+    *  - [[MetricsReadBack]]: after the two writes, re-read the durable
+    *    parquet to compute every metric — validates 100% of the written
+    *    bytes before the commit point, at the price of one extra full
+    *    read of the OUTPUT per bucket.
+    *  - [[MetricsObserve]]: metrics ride the write jobs as observe()
+    *    aggregates (zero extra scan); durability is validated by the
+    *    write protocol's own _SUCCESS marker plus a sampled 1-row
+    *    read-back probe of the span partition. Falls back to read-back
+    *    for a bucket whose observation did not deliver (an entirely
+    *    empty bucket under AQE — rare, and cheap to re-read by
+    *    definition). */
+  sealed trait MetricsMode
+  case object MetricsReadBack extends MetricsMode
+  case object MetricsObserve extends MetricsMode
+
   /** Extract one bucket's docs, write its span partition AND its
-    * conversion-error sidecar durably, then commit the manifest (all
-    * metrics computed from the durable outputs so the writes themselves
-    * are validated before the commit point). Results are persisted for
-    * the two writes, then released. */
+    * conversion-error sidecar durably, then commit the manifest (metrics
+    * per `metricsMode` — both modes validate durability before the
+    * commit point, at different read-amplification/assurance trades).
+    * Results are persisted for the two writes, then released. */
   private def processBucket(bucketLines: Dataset[(String, Array[String], Array[Int])],
-      b: Int, outDir: String, runningHeadThreshold: Double): BucketManifest = {
+      b: Int, outDir: String, runningHeadThreshold: Double,
+      metricsMode: MetricsMode): BucketManifest = {
     val spark = bucketLines.sparkSession
     import spark.implicits._
     val results = Extract.runLines(bucketLines, runningHeadThreshold)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     try {
-      val spans = results.flatMap(r => r.spans)
       val path = s"$outDir/bucket=$b"
-      spans.write.mode(SaveMode.Overwrite).parquet(path)
-      // underscore prefix: partition discovery over $outDir must keep
-      // seeing ONE consistent bucket=N layout (spark.read.parquet(outDir)
-      // is the downstream contract); _errors is metadata, like _commits
       val errPath = s"$outDir/_errors/bucket=$b"
-      results.flatMap(r => r.errors.map(e =>
-          (r.doc_id, e.error_type, e.message, e.page_number, e.line_number)))
-        .toDF("doc_id", "error_type", "message", "page_number", "line_number")
-        .write.mode(SaveMode.Overwrite).parquet(errPath)
-      val row = spark.read.parquet(path)
-        .agg(count(lit(1)).as("span_count"), sum(length(col("text"))).as("char_count"),
-          count_distinct(col("doc_id")).as("n_docs"))
-        .head()
-      val errorCount = spark.read.parquet(errPath).count()
-      BucketManifest(b,
-        row.getAs[Long]("n_docs"), row.getAs[Long]("span_count"),
-        Option(row.getAs[java.lang.Long]("char_count")).map(_.toLong).getOrElse(0L),
-        errorCount)
+
+      def readBack(): BucketManifest = {
+        val row = spark.read.parquet(path)
+          .agg(count(lit(1)).as("span_count"), sum(length(col("text"))).as("char_count"),
+            count_distinct(col("doc_id")).as("n_docs"))
+          .head()
+        val errorCount = spark.read.parquet(errPath).count()
+        BucketManifest(b,
+          row.getAs[Long]("n_docs"), row.getAs[Long]("span_count"),
+          Option(row.getAs[java.lang.Long]("char_count")).map(_.toLong).getOrElse(0L),
+          errorCount)
+      }
+
+      metricsMode match {
+        case MetricsReadBack =>
+          results.flatMap(r => r.spans).write.mode(SaveMode.Overwrite).parquet(path)
+          // underscore prefix: partition discovery over $outDir must keep
+          // seeing ONE consistent bucket=N layout (spark.read.parquet(outDir)
+          // is the downstream contract); _errors is metadata, like _commits
+          results.flatMap(r => r.errors.map(e =>
+              (r.doc_id, e.error_type, e.message, e.page_number, e.line_number)))
+            .toDF("doc_id", "error_type", "message", "page_number", "line_number")
+            .write.mode(SaveMode.Overwrite).parquet(errPath)
+          readBack()
+        case MetricsObserve =>
+          // metrics ride the write jobs: n_docs counts docs that emit at
+          // least one span (== the read-back count_distinct over spans)
+          val docsObs = org.apache.spark.sql.Observation()
+          val spansObs = org.apache.spark.sql.Observation()
+          results
+            .observe(docsObs,
+              sum(when(size(col("spans")) > 0, 1L).otherwise(0L)).as("n_docs"))
+            .flatMap(r => r.spans)
+            .observe(spansObs, count(lit(1)).as("span_count"),
+              sum(length(col("text"))).as("char_count"))
+            .write.mode(SaveMode.Overwrite).parquet(path)
+          val errObs = org.apache.spark.sql.Observation()
+          results.flatMap(r => r.errors.map(e =>
+              (r.doc_id, e.error_type, e.message, e.page_number, e.line_number)))
+            .toDF("doc_id", "error_type", "message", "page_number", "line_number")
+            .observe(errObs, count(lit(1)).as("error_count"))
+            .write.mode(SaveMode.Overwrite).parquet(errPath)
+          val span = docsObs.get
+          val spanAgg = spansObs.get
+          val side = errObs.get
+          val f = fs(spark, outDir)
+          // durability: the committer's own success marker + a sampled
+          // 1-row read of the durable bytes (O(1), not output-sized)
+          require(f.exists(new Path(path, "_SUCCESS")), s"no _SUCCESS under $path")
+          require(f.exists(new Path(errPath, "_SUCCESS")), s"no _SUCCESS under $errPath")
+          if (span.isEmpty || spanAgg.isEmpty || side.isEmpty) readBack()
+          else {
+            val spanCount = spanAgg("span_count").asInstanceOf[Long]
+            if (spanCount > 0)
+              require(spark.read.parquet(path).limit(1).count() == 1L,
+                s"durable span partition at $path is unreadable")
+            BucketManifest(b,
+              span("n_docs").asInstanceOf[Long],
+              spanCount,
+              Option(spanAgg("char_count")).collect { case l: java.lang.Long => l.toLong }
+                .getOrElse(0L),
+              side("error_count").asInstanceOf[Long])
+          }
+      }
     } finally results.unpersist()
   }
 
@@ -162,14 +225,16 @@ object Checkpoint {
 
   def runPartitioned(spark: SparkSession, corpusPath: String, outDir: String,
       cfg: TableIO.Cfg = TableIO.Cfg(), runningHeadThreshold: Double = 0.5,
-      failAtBucket: Int = -1, parallelism: Int = 1): Vector[BucketManifest] = {
+      failAtBucket: Int = -1, parallelism: Int = 1,
+      metricsMode: MetricsMode = MetricsObserve): Vector[BucketManifest] = {
     val done = committedBuckets(spark, outDir)
     val corpus = spark.read.format(cfg.format).load(corpusPath)
     val nBuckets = detectBuckets(spark, corpusPath).getOrElse(cfg.nBuckets)
     val remaining = (0 until nBuckets).filterNot(done.contains)
 
     def one(b: Int): BucketManifest = {
-      val m = processBucket(bucketLines(corpus, b), b, outDir, runningHeadThreshold)
+      val m = processBucket(bucketLines(corpus, b), b, outDir, runningHeadThreshold,
+        metricsMode)
       if (b == failAtBucket)
         throw new RuntimeException(s"injected failure before committing bucket $b")
       writeManifest(spark, outDir, m)
@@ -213,10 +278,11 @@ object Checkpoint {
     * Total input scans: 1 (stage) + 1 pruned read per bucket. */
   def run(docs: Dataset[InputDoc], outDir: String, nBuckets: Int = 16,
       runningHeadThreshold: Double = 0.5, failAtBucket: Int = -1,
-      parallelism: Int = 1, format: String = "parquet"): Vector[BucketManifest] = {
+      parallelism: Int = 1, format: String = "parquet",
+      metricsMode: MetricsMode = MetricsObserve): Vector[BucketManifest] = {
     val cfg = TableIO.Cfg(format = format, nBuckets = nBuckets)
     val staged = stage(docs, outDir, cfg)
     runPartitioned(docs.sparkSession, staged, outDir, cfg, runningHeadThreshold, failAtBucket,
-      parallelism)
+      parallelism, metricsMode)
   }
 }

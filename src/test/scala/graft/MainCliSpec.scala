@@ -61,4 +61,13 @@ class MainCliSpec extends AnyFunSuite {
     assert(opts == Map("--format" -> "orc"))
     assert(pos == List("64", "8"))
   }
+
+  test("--metrics accepts observe/readback, rejects other values") {
+    import graft.pipeline.Checkpoint
+    assert(Main.metricsMode(Map.empty) == Checkpoint.MetricsObserve)
+    assert(Main.metricsMode(Map("--metrics" -> "observe")) == Checkpoint.MetricsObserve)
+    assert(Main.metricsMode(Map("--metrics" -> "readback")) == Checkpoint.MetricsReadBack)
+    val e = intercept[Main.CliError](Main.metricsMode(Map("--metrics" -> "both")))
+    assert(e.msg.contains("invalid choice: 'both'"))
+  }
 }

@@ -181,6 +181,20 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.toSet == Set(("d1", "d2")))
   }
 
+  test("manifest metrics: observe-on-write == read-back, bucket by bucket") {
+    val docs = corpus(60)
+    val dirA = java.nio.file.Files.createTempDirectory("graft_mm_obs").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft_mm_rb").toString
+    // 12 buckets over 60 docs -> realistic mix incl. small buckets
+    val a = Checkpoint.run(docs, dirA, nBuckets = 12, metricsMode = Checkpoint.MetricsObserve)
+    val c = Checkpoint.run(docs, dirB, nBuckets = 12, metricsMode = Checkpoint.MetricsReadBack)
+    assert(a.sortBy(_.bucket) == c.sortBy(_.bucket))
+    assert(a.map(_.nDocs).sum == 60)
+    // and the durable manifests round-trip identically in both modes
+    assert(Checkpoint.readManifests(spark, dirA).sortBy(_.bucket) ==
+      Checkpoint.readManifests(spark, dirB).sortBy(_.bucket))
+  }
+
   test("simhash recall contract: exact at maxDist <= nBlocks-1, partial beyond") {
     val ss = spark; import ss.implicits._
     import org.apache.spark.sql.functions.col
