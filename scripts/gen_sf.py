@@ -120,9 +120,15 @@ langs = np.array(["en", "en", "en", "en", "de", "zh", "fr", "es"])  # en-heavy l
 texts, n_words = [], rng.integers(8, 105, N_DOC)
 for i in range(N_DOC):
     texts.append(" ".join(vocab[rng.integers(0, len(vocab), n_words[i])]))
-for _ in range(max(1, int(N_DOC * 0.003))):  # exact-dup clones
-    a, b = rng.integers(0, N_DOC, 2)
+# exact-dup clones: distinct (a, b) with each target cloned at most once,
+# so the realized dup rate matches the claimed ~0.3%
+cloned = set()
+while len(cloned) < max(1, int(N_DOC * 0.003)):
+    a, b = rng.choice(N_DOC, 2, replace=False)
+    if a in cloned or b in cloned:
+        continue
     texts[a] = texts[b]
+    cloned.add(a)
 w("documents", pa.table({
     "doc_id": pa.array(range(N_DOC), pa.int64()),
     "text": texts,

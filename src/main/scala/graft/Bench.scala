@@ -10,6 +10,24 @@ import org.apache.spark.sql.SparkSession
   * evidence (local[8] vs local[32]) is produced by running this main at
   * two SPARK_GRAFT_CPUS values; see BASELINE.md.
   */
+/** Timing helpers shared by [[Bench]] and [[BenchAB]] — one definition so
+  * the two harnesses can never disagree on the same run vector. */
+private[graft] object BenchUtil {
+  def time[A](f: => A): Double = {
+    val t0 = System.nanoTime()
+    f
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Conventional median: even-length vectors average the two middle
+    * values (an odd rounds count, the default 3, is unaffected). */
+  def median(v: Seq[Double]): Double = {
+    val s = v.sorted
+    if (s.length % 2 == 1) s(s.length / 2)
+    else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+  }
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -24,19 +42,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def time[A](f: => A): Double = {
-      val t0 = System.nanoTime()
-      f
-      (System.nanoTime() - t0) / 1e9
-    }
-
-    // conventional median: even-length vectors average the two middle
-    // values (an odd rounds count, the default 3, is unaffected)
-    def median(v: Seq[Double]): Double = {
-      val s = v.sorted
-      if (s.length % 2 == 1) s(s.length / 2)
-      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
-    }
+    import BenchUtil.{time, median}
 
     // >=3 repeat ROUNDS interleaved across queries (not back-to-back per
     // query): the sandbox VM freezes for tens of seconds at a time, and a

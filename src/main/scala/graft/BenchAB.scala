@@ -25,10 +25,14 @@ object BenchAB {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** (name, variantA, variantB). Identical-code pairs use the SAME
-    * function object twice — any measured ratio is pure environment. */
-  def pairs: Map[String, (Q, Q)] = {
-    def same(name: String): (Q, Q) = (SparkEntry.queries(name), SparkEntry.queries(name))
+  /** A named A/B pair; `identical` tags noise-envelope pairs EXPLICITLY
+    * (not by name convention) so a future parameter pair can never
+    * corrupt the envelope summary. */
+  final case class Pair(a: Q, b: Q, identical: Boolean)
+
+  def pairs: Map[String, Pair] = {
+    def same(name: String): Pair =
+      Pair(SparkEntry.queries(name), SparkEntry.queries(name), identical = true)
     Map(
       // the three queries whose r02->r03 driver-bench drift had NO code
       // change (verified by git diff) — expected verdict: weather
@@ -37,15 +41,16 @@ object BenchAB {
       "x_extract_relational" -> same("x_extract_relational"),
       // the one REAL r03 cost: default-on simhash cap (collect_list agg)
       // vs the classic uncapped self-join it replaced
-      "simhash_cap_vs_uncapped" -> (
-        ((s: SparkSession, dir: String) => graft.ops.Dedup.simhashPairs(
+      "simhash_cap_vs_uncapped" -> Pair(
+        (s: SparkSession, dir: String) => graft.ops.Dedup.simhashPairs(
           s.read.parquet(s"$dir/documents.parquet")
             .withColumn("doc_id", org.apache.spark.sql.functions.col("doc_id").cast("string")),
-          maxDist = 16)),
-        ((s: SparkSession, dir: String) => graft.ops.Dedup.simhashPairs(
+          maxDist = 16),
+        (s: SparkSession, dir: String) => graft.ops.Dedup.simhashPairs(
           s.read.parquet(s"$dir/documents.parquet")
             .withColumn("doc_id", org.apache.spark.sql.functions.col("doc_id").cast("string")),
-          maxDist = 16, maxBucket = Int.MaxValue)))
+          maxDist = 16, maxBucket = Int.MaxValue),
+        identical = false)
     )
   }
 
@@ -54,6 +59,14 @@ object BenchAB {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val rounds = sys.env.getOrElse("BENCH_AB_ROUNDS", "5").toInt
     val selected = if (args.isEmpty) pairs.keys.toSeq.sorted else args.toSeq
+    // validate BEFORE spinning up Spark: a typo'd pair name should list
+    // the valid names, not crash after session startup
+    val unknown = selected.filterNot(pairs.contains)
+    if (unknown.nonEmpty) {
+      System.err.println(s"unknown pair(s): ${unknown.mkString(", ")} " +
+        s"(valid: ${pairs.keys.toSeq.sorted.mkString(", ")})")
+      sys.exit(2)
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -64,17 +77,10 @@ object BenchAB {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def time(f: => Unit): Double = {
-      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-    }
-    def median(v: Seq[Double]): Double = {
-      val s = v.sorted
-      if (s.length % 2 == 1) s(s.length / 2)
-      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
-    }
+    import BenchUtil.{time, median}
 
     val results = selected.map { name =>
-      val (qa, qb) = pairs(name)
+      val Pair(qa, qb, identical) = pairs(name)
       // warmup both variants (JIT + codegen), then interleave
       qa(spark, sfDir).count(); qb(spark, sfDir).count()
       val as = Vector.newBuilder[Double]
@@ -85,12 +91,12 @@ object BenchAB {
       }
       val (ma, mb) = (median(as.result()), median(bs.result()))
       val ratio = if (ma > 0) mb / ma else -1.0
-      println(f"""{"pair":"$name","a_median":$ma%.3f,"b_median":$mb%.3f,"b_over_a":$ratio%.3f,"a_runs":[${as.result().map(t => f"$t%.3f").mkString(",")}],"b_runs":[${bs.result().map(t => f"$t%.3f").mkString(",")}]}""")
-      (name, ma, mb, ratio)
+      println(f"""{"pair":"$name","identical":$identical,"a_median":$ma%.3f,"b_median":$mb%.3f,"b_over_a":$ratio%.3f,"a_runs":[${as.result().map(t => f"$t%.3f").mkString(",")}],"b_runs":[${bs.result().map(t => f"$t%.3f").mkString(",")}]}""")
+      (name, ma, mb, ratio, identical)
     }
-    val identical = results.filter { case (n, _, _, _) => n.startsWith("q_") || n.startsWith("x_") }
-    val envelope = if (identical.nonEmpty)
-      identical.map { case (_, _, _, r) => math.max(r, 1.0 / r) }.max else -1.0
+    val identicalPairs = results.filter(_._5)
+    val envelope = if (identicalPairs.nonEmpty)
+      identicalPairs.map { case (_, _, _, r, _) => math.max(r, 1.0 / r) }.max else -1.0
     println(f"""{"metric":"ab_summary","pairs":${results.size},"rounds":$rounds,"identical_pair_envelope":$envelope%.3f,"sf":"$sfDir","cpus":$cpus}""")
     spark.stop()
   }

@@ -41,11 +41,15 @@ object Main {
     import spark.implicits._
 
     try args.toList match {
-      case "extract" :: inDir :: outDir :: rest =>
-        val (opts, pos) = parseOpts(rest, Set("--format", "--metrics"))
+      case "extract" :: rest0 =>
+        // options may appear anywhere after the mode (argparse parity)
+        val (opts, pos0) = parseOpts(rest0, Set("--format", "--metrics"))
+        val (inDir, outDir, pos) = twoRequired("extract", "inDir, outDir", pos0)
         val fmt = opts.getOrElse("--format", "parquet")
-        val buckets = pos.headOption.map(_.toInt).getOrElse(256)
-        val par = pos.drop(1).headOption.map(_.toInt).getOrElse(4)
+        val buckets = pos.headOption.map(parseIntArg("buckets")).getOrElse(256)
+        val par = pos.drop(1).headOption.map(parseIntArg("parallelism")).getOrElse(4)
+        if (pos.length > 2)
+          throw CliError(s"error: unrecognized arguments: ${pos.drop(2).mkString(" ")}")
         // A corpus already in the bucket(doc_id) layout (Iceberg-style) is
         // consumed with per-bucket partition pruning — no staging pass and
         // no full rescans; a flat table is staged once by Checkpoint.run.
@@ -61,16 +65,20 @@ object Main {
               parallelism = par, metricsMode = metricsMode(opts))
           }
         report(outDir, manifests, spark)
-      case "synth" :: nDocs :: outDir :: rest =>
-        val (opts, pos) = parseOpts(rest, Set("--format", "--metrics"))
+      case "synth" :: rest0 =>
+        val (opts, pos0) = parseOpts(rest0, Set("--format", "--metrics"))
+        val (nDocs, outDir, pos) = twoRequired("synth", "nDocs, outDir", pos0)
         val fmt = opts.getOrElse("--format", "parquet")
-        val buckets = pos.headOption.map(_.toInt).getOrElse(64)
-        val par = pos.drop(1).headOption.map(_.toInt).getOrElse(4)
-        val docs = graft.io.SyntheticCorpus.docs(spark, nDocs.toLong)
+        val buckets = pos.headOption.map(parseIntArg("buckets")).getOrElse(64)
+        val par = pos.drop(1).headOption.map(parseIntArg("parallelism")).getOrElse(4)
+        if (pos.length > 2)
+          throw CliError(s"error: unrecognized arguments: ${pos.drop(2).mkString(" ")}")
+        val docs = graft.io.SyntheticCorpus.docs(spark,
+          parseIntArg("nDocs")(nDocs).toLong)
         val manifests = graft.pipeline.Checkpoint.run(docs, outDir, buckets, format = fmt,
           parallelism = par, metricsMode = metricsMode(opts))
         report(outDir, manifests, spark)
-      case "xml" :: inDir :: outDir :: rest =>
+      case "xml" :: rest0 =>
         // formatter sink: one reference-parity book.xml string per doc;
         // "grouped" applies the --group-pages hierarchy transform, with
         // reference-rejected docs quarantined as error rows.
@@ -78,12 +86,18 @@ object Main {
         // CLI (book_converter/cli.py:66-73) and threads a
         // HeaderLevelConfig into group_pages_by_toc;
         // --running-head-threshold RATIO mirrors cli.py:49-56.
-        val (opts, positionals) = parseOpts(rest, xmlFlags)
+        val (opts, pos0) = parseOpts(rest0, xmlFlags)
+        val (inDir, outDir, positionals) = twoRequired("xml", "inDir, outDir", pos0)
         val config = headerConfig(opts)
         val threshold = opts.get("--running-head-threshold")
           .map(parseFloatArg("--running-head-threshold")).getOrElse(0.5)
         val fmt = opts.getOrElse("--format", "parquet")
         val grouped = positionals.contains("grouped")
+        // argparse parity: 'grouped' is the only legal extra positional —
+        // a typo must not silently produce ungrouped output
+        val junk = positionals.filterNot(_ == "grouped")
+        if (junk.nonEmpty)
+          throw CliError(s"error: unrecognized arguments: ${junk.mkString(" ")}")
         val docs = readCorpus(spark, inDir, fmt)
         val out =
           if (!grouped)
@@ -106,11 +120,12 @@ object Main {
         val m = obs.get
         val errs = Option(m("errors")).map(_.asInstanceOf[Long]).getOrElse(0L)
         println(s"""{"docs":${m("docs")},"errors":$errs,"out":"$outDir"}""")
-      case "md" :: inDir :: outDir :: rest =>
+      case "md" :: rest0 =>
         // consolidate sink (src/cli/consolidate.py step): one
         // reference-parity book.txt + book.md per doc; zero-page docs
         // (the reference raises) are quarantined as error rows
-        val (opts, positionals) = parseOpts(rest, Set("--format"))
+        val (opts, pos0) = parseOpts(rest0, Set("--format"))
+        val (inDir, outDir, positionals) = twoRequired("md", "inDir, outDir", pos0)
         if (positionals.nonEmpty)
           throw CliError(s"error: unrecognized arguments: ${positionals.mkString(" ")}")
         val docs = readCorpus(spark, inDir, opts.getOrElse("--format", "parquet"))
@@ -126,9 +141,10 @@ object Main {
         println(s"""{"docs":${m("docs")},"errors":$errs,"out":"$outDir"}""")
       case other =>
         System.err.println(s"unknown args: $other (want: extract <in> <out> [buckets] " +
-          "[parallelism] [--format FMT] | synth <nDocs> <out> [buckets] [parallelism] " +
-          "[--format FMT] | xml <in> <out> [grouped] [--header-levelN KEYWORDS] " +
-          "[--running-head-threshold RATIO] [--format FMT] | md <in> <out> [--format FMT])")
+          "[parallelism] [--format FMT] [--metrics MODE] | synth <nDocs> <out> [buckets] " +
+          "[parallelism] [--format FMT] [--metrics MODE] | xml <in> <out> [grouped] " +
+          "[--header-levelN KEYWORDS] [--running-head-threshold RATIO] [--format FMT] | " +
+          "md <in> <out> [--format FMT])")
         sys.exit(2)
     } catch {
       case CliError(msg) =>
@@ -205,6 +221,19 @@ object Main {
   private[graft] def parseFloatArg(flag: String)(v: String): Double =
     v.toDoubleOption.getOrElse(
       throw CliError(s"error: argument $flag: invalid float value: '$v'"))
+
+  /** argparse `type=int` semantics: a non-int value errors (exit 2). */
+  private[graft] def parseIntArg(flag: String)(v: String): Int =
+    v.toIntOption.getOrElse(
+      throw CliError(s"error: argument $flag: invalid int value: '$v'"))
+
+  /** The two required positionals of every mode; missing ones error like
+    * argparse's 'the following arguments are required'. */
+  private[graft] def twoRequired(mode: String, names: String, pos: List[String])
+      : (String, String, List[String]) = pos match {
+    case a :: b :: tail => (a, b, tail)
+    case _ => throw CliError(s"error: $mode: the following arguments are required: $names")
+  }
 
   /** Corpus read through the TableIO format seam: a bucket-partitioned
     * layout goes through TableIO.readDocs (partition pruning preserved);

@@ -226,11 +226,14 @@ object Dedup {
           .groupBy(col("blk"), col("key"))
           .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("members"))
         // the suppression metric rides the same aggregation — no extra job
+        // coalesce: sum over ZERO rows is SQL NULL, and the contract is
+        // "zeros mean nothing suppressed"
         val bucketsObs = suppressed.fold(bucketsAll)(o => bucketsAll.observe(o,
-          sum(when(size(col("members")) > maxBucket, 1L).otherwise(0L))
+          coalesce(sum(when(size(col("members")) > maxBucket, 1L).otherwise(0L)), lit(0L))
             .as("suppressed_buckets"),
-          sum(when(size(col("members")) > maxBucket, size(col("members")).cast("long"))
-            .otherwise(0L)).as("suppressed_rows")))
+          coalesce(sum(when(size(col("members")) > maxBucket,
+            size(col("members")).cast("long")).otherwise(0L)), lit(0L))
+            .as("suppressed_rows")))
         val buckets = bucketsObs
           .where(size(col("members")) >= 2 && size(col("members")) <= maxBucket)
         buckets
@@ -253,7 +256,8 @@ object Dedup {
     // always resolves regardless of the maxBucket setting
     if (maxBucket == Int.MaxValue)
       suppressed.fold(result)(o => result.observe(o,
-        sum(lit(0L)).as("suppressed_buckets"), sum(lit(0L)).as("suppressed_rows")))
+        coalesce(sum(lit(0L)), lit(0L)).as("suppressed_buckets"),
+        coalesce(sum(lit(0L)), lit(0L)).as("suppressed_rows")))
     else result
   }
 }

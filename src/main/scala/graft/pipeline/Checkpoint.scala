@@ -95,7 +95,8 @@ object Checkpoint {
     *    read-back probe of the span partition. Falls back to read-back
     *    for a bucket whose observation did not deliver (an entirely
     *    empty bucket under AQE — rare, and cheap to re-read by
-    *    definition). */
+    *    definition) or whose committer wrote no _SUCCESS marker (e.g.
+    *    marksuccessfuljobs=false on object stores). */
   sealed trait MetricsMode
   case object MetricsReadBack extends MetricsMode
   case object MetricsObserve extends MetricsMode
@@ -162,10 +163,15 @@ object Checkpoint {
           val side = errObs.get
           val f = fs(spark, outDir)
           // durability: the committer's own success marker + a sampled
-          // 1-row read of the durable bytes (O(1), not output-sized)
-          require(f.exists(new Path(path, "_SUCCESS")), s"no _SUCCESS under $path")
-          require(f.exists(new Path(errPath, "_SUCCESS")), s"no _SUCCESS under $errPath")
-          if (span.isEmpty || spanAgg.isEmpty || side.isEmpty) readBack()
+          // 1-row read of the durable bytes (O(1), not output-sized).
+          // A committer configured NOT to write markers (e.g.
+          // mapreduce.fileoutputcommitter.marksuccessfuljobs=false on
+          // object stores) must not brick the default mode: a missing
+          // marker falls back to the full read-back, which validates by
+          // reading the durable bytes themselves.
+          val markersOk = f.exists(new Path(path, "_SUCCESS")) &&
+            f.exists(new Path(errPath, "_SUCCESS"))
+          if (!markersOk || span.isEmpty || spanAgg.isEmpty || side.isEmpty) readBack()
           else {
             val spanCount = spanAgg("span_count").asInstanceOf[Long]
             if (spanCount > 0)

@@ -62,6 +62,22 @@ class MainCliSpec extends AnyFunSuite {
     assert(pos == List("64", "8"))
   }
 
+  test("int parsing: argparse type=int semantics (no raw NumberFormatException)") {
+    assert(Main.parseIntArg("buckets")("128") == 128)
+    val e = intercept[Main.CliError](Main.parseIntArg("buckets")("/in"))
+    assert(e.msg == "error: argument buckets: invalid int value: '/in'")
+  }
+
+  test("required positionals: options-before-positionals binds correctly") {
+    // argparse accepts `extract --format orc /in /out`
+    val (opts, pos0) = Main.parseOpts(List("--format", "orc", "/in", "/out"),
+      Set("--format", "--metrics"))
+    val (in, out, rest) = Main.twoRequired("extract", "inDir, outDir", pos0)
+    assert(opts("--format") == "orc" && in == "/in" && out == "/out" && rest.isEmpty)
+    val e = intercept[Main.CliError](Main.twoRequired("extract", "inDir, outDir", List("/in")))
+    assert(e.msg == "error: extract: the following arguments are required: inDir, outDir")
+  }
+
   test("--metrics accepts observe/readback, rejects other values") {
     import graft.pipeline.Checkpoint
     assert(Main.metricsMode(Map.empty) == Checkpoint.MetricsObserve)
