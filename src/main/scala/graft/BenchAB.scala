@@ -41,6 +41,19 @@ object BenchAB {
       "x_extract_relational" -> same("x_extract_relational"),
       // the one REAL r03 cost: default-on simhash cap (collect_list agg)
       // vs the classic uncapped self-join it replaced
+      // hash-family seam: oracle-reproducible md5 vs production xxhash64
+      // (codegen 64-bit, 8-byte sig in the shuffle instead of ~36)
+      "minhash_md5_vs_xxhash64" -> Pair(
+        (s: SparkSession, dir: String) => graft.ops.Dedup.lshCandidatePairs(
+          graft.ops.Dedup.minhashSignatures(
+            s.read.parquet(s"$dir/documents.parquet"), bands = 8, shingleK = 8),
+          maxBucket = 50),
+        (s: SparkSession, dir: String) => graft.ops.Dedup.lshCandidatePairs(
+          graft.ops.Dedup.minhashSignatures(
+            s.read.parquet(s"$dir/documents.parquet"), bands = 8, shingleK = 8,
+            hashFamily = "xxhash64"),
+          maxBucket = 50),
+        identical = false),
       "simhash_cap_vs_uncapped" -> Pair(
         (s: SparkSession, dir: String) => graft.ops.Dedup.simhashPairs(
           s.read.parquet(s"$dir/documents.parquet")

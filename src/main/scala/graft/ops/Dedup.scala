@@ -35,30 +35,54 @@ object Dedup {
   }
 
   /** MinHash band signatures: one row per (doc, band), sig = min over
-    * shingles of md5(band || shingle). md5 is the hash family so DuckDB
-    * can reproduce signatures bit-for-bit for the oracle.
+    * shingles of hash(band || shingle).
+    *
+    * `hashFamily` seam:
+    *  - `"md5"` (default): DuckDB reproduces signatures bit-for-bit, so
+    *    the oracle gate can hash-match this operator end-to-end. The
+    *    price at corpus scale: a crypto hash per (shingle x band) and a
+    *    32-char hex sig (~36 bytes) in every shuffled row.
+    *  - `"xxhash64"`: the production family — Spark's codegen 64-bit
+    *    non-crypto hash; the sig is an 8-byte long, so the one shuffle
+    *    this path has (docs x bands rows) carries ~1/4 the sig bytes.
+    *    MinHash only needs a uniform hash, not a cryptographic one;
+    *    a 64-bit min collision merely perturbs which shingle wins,
+    *    which is the estimator's normal behavior.
+    * Pairs with Jaccard 1.0 (identical shingle SETS) get identical
+    * signatures under EITHER family — full-overlap recall is
+    * family-independent (spec-pinned); borderline pairs differ between
+    * families exactly as between two random permutation seeds.
+    * (Exact dedup stays md5: 64-bit birthday collisions become real at
+    * 10^9+ docs and there a collision is a WRONG exact-dup group, not an
+    * estimator nudge.)
     *
     * Entirely map-side: min is duplicate-insensitive (multiset min ==
     * set min), so no distinct/shuffle is needed — the per-band minima
-    * fold in-row over the shingle array ("g" > every md5 hex digit).
-    * At 100 TB this stage is a pure scan; the only shuffle in the dedup
-    * path is the band-bucket self-join. */
+    * fold in-row over the shingle array. At 100 TB this stage is a pure
+    * scan; the only shuffle in the dedup path is the band-bucket join. */
   def minhashSignatures(docs: DataFrame, bands: Int = 8, shingleK: Int = 5,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    // compute-heavy map stage (docs x shingles x bands md5 calls): spread
+      idCol: String = "doc_id", textCol: String = "text",
+      hashFamily: String = "md5"): DataFrame = {
+    val h: Column => Column = hashFamily match {
+      case "md5"      => md5
+      case "xxhash64" => c => xxhash64(c)
+      case other => throw new IllegalArgumentException(
+        s"hashFamily must be 'md5' or 'xxhash64', got '$other'")
+    }
+    // compute-heavy map stage (docs x shingles x bands hash calls): spread
     // it across the cluster even when the input is a few small files —
     // a 600 KB parquet is ONE split, which would serialize all the hashing
     val spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism * 2,
       col(idCol))
     spread
-      // array_distinct is in-row (no shuffle); explode feeds codegen'd md5
+      // array_distinct is in-row (no shuffle); explode feeds the codegen hash
       .select(col(idCol).as("doc_id"),
         explode(array_distinct(shingles(col(textCol), shingleK))).as("sh"))
       .select(col("doc_id"), explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sh"))
       .groupBy(col("doc_id"), col("band"))
       // partial aggregation collapses to `bands` rows per doc map-side;
       // the shuffle moves only (docs x bands) rows
-      .agg(min(md5(concat(col("band").cast("string"), lit(":"), col("sh")))).as("sig"))
+      .agg(min(h(concat(col("band").cast("string"), lit(":"), col("sh")))).as("sig"))
   }
 
   /** LSH candidate pairs: docs sharing any band signature. Self-join on

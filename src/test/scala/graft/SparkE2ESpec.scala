@@ -283,6 +283,42 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(simA.except(simB).isEmpty && simB.except(simA).isEmpty)
   }
 
+  test("minhash hash-family seam: full-overlap recall is family-independent") {
+    val ss = spark; import ss.implicits._
+    // planted exact clones (Jaccard 1.0: identical shingle SETS) must be
+    // candidates under BOTH families — identical sets give identical
+    // per-band minima whatever the hash; borderline pairs may differ
+    // between families like between two permutation seeds
+    val base = (0 until 80).map { i =>
+      (f"d$i%03d", s"unique body $i ${"filler " * (i % 7)} end $i")
+    }
+    val clones = Seq(("c000", "cloned text shared verbatim by the pair"),
+      ("c001", "cloned text shared verbatim by the pair"),
+      ("c002", "another cloned body, also duplicated exactly"),
+      ("c003", "another cloned body, also duplicated exactly"))
+    val docs = (base ++ clones).toDF("doc_id", "text")
+    val expected = Set(("c000", "c001"), ("c002", "c003"))
+    for (family <- Seq("md5", "xxhash64")) {
+      val sigs = graft.ops.Dedup.minhashSignatures(docs, bands = 4, shingleK = 5,
+        hashFamily = family)
+      // md5 sigs are hex strings; xxhash64 sigs are 8-byte longs
+      val sigType = sigs.schema("sig").dataType.typeName
+      assert(if (family == "md5") sigType == "string" else sigType == "long")
+      val pairs = graft.ops.Dedup.lshCandidatePairs(sigs, maxBucket = 50)
+        .select("doc_a", "doc_b").as[(String, String)].collect().toSet
+      assert(expected.subsetOf(pairs), s"family=$family missed planted clones")
+      // partitioning independence holds for the production family too
+      if (family == "xxhash64") {
+        val sigs1 = graft.ops.Dedup.minhashSignatures(docs.repartition(7),
+          bands = 4, shingleK = 5, hashFamily = family)
+        assert(sigs.except(sigs1).isEmpty && sigs1.except(sigs).isEmpty)
+      }
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.Dedup.minhashSignatures(docs, hashFamily = "sha1")
+    }
+  }
+
   test("media plumbing: stub decode yields typed metadata for every figure") {
     val ss = spark; import ss.implicits._
     val docs = corpus(20)
