@@ -169,6 +169,7 @@ object SparkEntry {
     // ---- relational operator families (oracle-gated) ----------------------
     "q_reading_order" -> ((s, dir) => readingOrderOracleQuery(s, dir)),
     "q_phash_dedup" -> ((s, dir) => phashOracleQuery(s, dir)),
+    "q_media_meta" -> ((s, dir) => mediaOracleQuery(s, dir)),
     "q_agg_lineitem" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -381,6 +382,20 @@ object SparkEntry {
          )
          SELECT doc_id, 60 AS n_frames, CAST(count(*) AS INT) AS n_unique
          FROM keep GROUP BY doc_id""",
+    "q_media_meta" ->
+      // independent relational prediction of the Spark-side
+      // encode -> binary column -> mapPartitions decode round trip
+      """SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                'fig_' || doc_id || '_' || k AS media_ref,
+                CASE WHEN (doc_id + k) % 3 = 0 THEN 'video' ELSE 'image' END AS media_kind,
+                48 AS byte_len,
+                CAST(64 + (doc_id*7 + k*13) % 1024 AS INT) AS width,
+                CAST(64 + (doc_id*11 + k*17) % 1024 AS INT) AS height,
+                CASE WHEN (doc_id + k) % 3 = 0 THEN CAST(1 + (doc_id*5 + k) % 240 AS INT)
+                     ELSE 1 END AS n_frames,
+                TRUE AS ok
+         FROM (SELECT doc_id, unnest(range(0, CAST(doc_id % 4 AS BIGINT))) AS k
+               FROM documents WHERE doc_id < 300 AND doc_id % 4 > 0)""",
     "q_agg_lineitem" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
@@ -639,6 +654,35 @@ object SparkEntry {
     * replays the sequential pass as a recursive CTE — promoting the
     * x_phash_dedup rows-gate to rows+schema+hash (reference semantics:
     * src/preprocessing/deduplicate.py:9-66). */
+  /** Oracle-gated multimodal round trip: media specs derived RELATIONALLY
+    * from the documents table (SQL-expressible arithmetic, no hashCode),
+    * encoded into real binary payloads, pushed through the ACTUAL
+    * [[graft.multimodal.Media.decodeStub]] mapPartitions decode path, and
+    * compared against DuckDB's independent prediction of the decoded
+    * metadata — a hash gate over encode → binary column → decode. */
+  private def mediaOracleQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val specs = s.read.parquet(s"$dir/documents.parquet")
+      .where(col("doc_id") < 300 && col("doc_id") % 4 > 0)
+      .select(col("doc_id"), explode(sequence(lit(0L), col("doc_id") % 4 - 1)).as("k"))
+      .select(col("doc_id"), col("k"),
+        when((col("doc_id") + col("k")) % 3 === 0, "video").otherwise("image").as("kind"),
+        (lit(64) + (col("doc_id") * 7 + col("k") * 13) % 1024).cast("int").as("w"),
+        (lit(64) + (col("doc_id") * 11 + col("k") * 17) % 1024).cast("int").as("h"),
+        when((col("doc_id") + col("k")) % 3 === 0,
+          (lit(1) + (col("doc_id") * 5 + col("k")) % 240).cast("int"))
+          .otherwise(lit(1)).as("f"))
+      .as[(Long, Long, String, Int, Int, Int)]
+    val media = specs.map { case (docId, k, kind, w, h, f) =>
+      val ref = s"fig_${docId}_$k"
+      graft.multimodal.Media.MediaRow(docId.toString, ref, kind,
+        graft.multimodal.Media.encodeBytes(ref, w, h, f))
+    }
+    graft.multimodal.Media.extractMeta(media).toDF()
+      .select(col("doc_id"), col("media_ref"), col("media_kind"), col("byte_len"),
+        col("width"), col("height"), col("n_frames"), col("ok"))
+  }
+
   private def phashOracleQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"))

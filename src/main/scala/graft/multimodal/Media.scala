@@ -18,17 +18,22 @@ object Media {
   final case class MediaMeta(doc_id: String, media_ref: String, media_kind: String,
       byte_len: Int, width: Int, height: Int, n_frames: Int, ok: Boolean)
 
-  /** Deterministic fake payload for media_ref (generator side): a 16-byte
-    * header [W:int][H:int][frames:int][magic:int] + content bytes. */
-  def fakeBytes(mediaRef: String, kind: String): Array[Byte] = {
-    val h = mediaRef.hashCode
-    val width = 64 + math.abs(h % 1024)
-    val height = 64 + math.abs((h / 7) % 1024)
-    val frames = if (kind == "video") 1 + math.abs(h % 240) else 1
+  /** Binary payload layout: a 16-byte header
+    * [W:int][H:int][frames:int][magic:int] + 32 content bytes. */
+  def encodeBytes(mediaRef: String, width: Int, height: Int, frames: Int): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(16 + 32)
     bb.putInt(width).putInt(height).putInt(frames).putInt(0xfa_ce_b0_0c)
     bb.put(java.util.Arrays.copyOf(mediaRef.getBytes("UTF-8"), 32))
     bb.array()
+  }
+
+  /** Deterministic fake payload for media_ref (generator side). */
+  def fakeBytes(mediaRef: String, kind: String): Array[Byte] = {
+    val h = mediaRef.hashCode
+    encodeBytes(mediaRef,
+      width = 64 + math.abs(h % 1024),
+      height = 64 + math.abs((h / 7) % 1024),
+      frames = if (kind == "video") 1 + math.abs(h % 240) else 1)
   }
 
   /** STUB decode: parses the fake header. Replace with a real codec in
