@@ -39,8 +39,6 @@ object BenchAB {
       "q_lsh_jaccard" -> same("q_lsh_jaccard"),
       "q_lsh_pairs" -> same("q_lsh_pairs"),
       "x_extract_relational" -> same("x_extract_relational"),
-      // the one REAL r03 cost: default-on simhash cap (collect_list agg)
-      // vs the classic uncapped self-join it replaced
       // hash-family seam: oracle-reproducible md5 vs production xxhash64
       // (codegen 64-bit, 8-byte sig in the shuffle instead of ~36)
       "minhash_md5_vs_xxhash64" -> Pair(
@@ -54,6 +52,8 @@ object BenchAB {
             hashFamily = "xxhash64"),
           maxBucket = 50),
         identical = false),
+      // the one REAL r03 cost: default-on simhash cap (collect_list agg)
+      // vs the classic uncapped self-join it replaced
       "simhash_cap_vs_uncapped" -> Pair(
         (s: SparkSession, dir: String) => graft.ops.Dedup.simhashPairs(
           s.read.parquet(s"$dir/documents.parquet")

@@ -28,15 +28,36 @@ import org.apache.spark.sql.SparkSession
 object Scaling {
 
   /** Pin ALL current JVM threads (and, by inheritance, future ones) to
-    * CPUs 0..n-1; no-op if taskset is unavailable. */
-  private def pinCpus(n: Int): Unit = {
+    * the given CPU list. The whole point of `pin` mode is methodology
+    * validity, so a failed pin FAILS the run rather than silently
+    * measuring unpinned behavior under a "pin" label. */
+  private def pinCpus(cpuList: String): Unit = {
     val pid = ProcessHandle.current().pid()
-    try {
-      val p = new ProcessBuilder("taskset", "-apc", s"0-${n - 1}", pid.toString)
-        .redirectOutput(ProcessBuilder.Redirect.DISCARD)
-        .redirectErrorStream(true).start()
-      p.waitFor()
-    } catch { case _: java.io.IOException => () }
+    val rc =
+      try {
+        val p = new ProcessBuilder("taskset", "-apc", cpuList, pid.toString)
+          .redirectOutput(ProcessBuilder.Redirect.DISCARD)
+          .redirectErrorStream(true).start()
+        p.waitFor()
+      } catch { case e: java.io.IOException => System.err.println(s"taskset: $e"); -1 }
+    if (rc != 0) {
+      System.err.println(s"FATAL: taskset -apc $cpuList failed (rc=$rc) — " +
+        "refusing to record an unpinned run as mode=pin")
+      sys.exit(1)
+    }
+  }
+
+  /** The JVM's CURRENT affinity list (captured before the first pin so
+    * the original mask — possibly non-contiguous — can be restored;
+    * availableProcessors() after pinning reflects the pinned mask, not
+    * the original). */
+  private def currentAffinity(): String = {
+    val pid = ProcessHandle.current().pid()
+    val p = new ProcessBuilder("taskset", "-pc", pid.toString).start()
+    val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+    p.waitFor()
+    // "pid 123's current affinity list: 0-31" -> "0-31"
+    out.trim.split(":\\s*").last
   }
 
   private def session(cores: Int): SparkSession = {
@@ -60,8 +81,14 @@ object Scaling {
     // the production shape (read Iceberg/parquet, not generate); default
     // times GENERATE+EXTRACT (no IO, pure compute scaling).
     val mode = if (args.length > 2) args(2) else ""
-    val fromParquet = mode.startsWith("parquet")
+    val validModes = Set("", "parquet", "pin", "parquet-pin")
+    if (!validModes(mode)) {
+      System.err.println(s"unknown mode '$mode' (valid: parquet, pin, parquet-pin, or omit)")
+      sys.exit(2)
+    }
+    val fromParquet = mode == "parquet" || mode == "parquet-pin"
     val pinned = mode == "pin" || mode == "parquet-pin"
+    val originalAffinity = if (pinned) currentAffinity() else ""
     val coreLevels = Seq(4, 8, 16, 32)
     val partitions = 256
     val best = scala.collection.mutable.Map.empty[Int, Double].withDefaultValue(Double.MaxValue)
@@ -81,7 +108,7 @@ object Scaling {
     }
 
     for (pass <- 1 to passes; cores <- coreLevels) {
-      if (pinned) pinCpus(cores)
+      if (pinned) pinCpus(s"0-${cores - 1}")
       val s = session(cores)
       import s.implicits._
       import org.apache.spark.sql.functions.col
@@ -103,7 +130,7 @@ object Scaling {
       s.stop()
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
     }
-    if (pinned) pinCpus(Runtime.getRuntime.availableProcessors())
+    if (pinned) pinCpus(originalAffinity)
 
     val thr = coreLevels.map(c => c -> nDocs / best(c)).toMap
     def eff(lo: Int, hi: Int): Double = (thr(hi) / thr(lo)) / (hi.toDouble / lo)

@@ -647,13 +647,6 @@ object SparkEntry {
     }.toDF("doc_id", "rd_order")
   }
 
-  /** Keep-vs-last-kept phash dedup over deterministic-arithmetic frame
-    * hashes (12 scenes x 5 near-dup frames + per-bit noise, 60-bit
-    * hashes both engines can rebuild), deduped by the REAL stateful
-    * operator ([[PhashDedup.dedupe]], threshold 8); the DuckDB oracle
-    * replays the sequential pass as a recursive CTE — promoting the
-    * x_phash_dedup rows-gate to rows+schema+hash (reference semantics:
-    * src/preprocessing/deduplicate.py:9-66). */
   /** Oracle-gated multimodal round trip: media specs derived RELATIONALLY
     * from the documents table (SQL-expressible arithmetic, no hashCode),
     * encoded into real binary payloads, pushed through the ACTUAL
@@ -683,6 +676,13 @@ object SparkEntry {
         col("width"), col("height"), col("n_frames"), col("ok"))
   }
 
+  /** Keep-vs-last-kept phash dedup over deterministic-arithmetic frame
+    * hashes (12 scenes x 5 near-dup frames + per-bit noise, 60-bit
+    * hashes both engines can rebuild), deduped by the REAL stateful
+    * operator ([[PhashDedup.dedupe]], threshold 8); the DuckDB oracle
+    * replays the sequential pass as a recursive CTE — promoting the
+    * x_phash_dedup rows-gate to rows+schema+hash (reference semantics:
+    * src/preprocessing/deduplicate.py:9-66). */
   private def phashOracleQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"))
