@@ -91,23 +91,39 @@ object Dedup {
     * maxBucket suppresses degenerate buckets (a bucket of n docs emits
     * n^2/2 pairs; a boilerplate-shingle bucket at corpus scale would emit
     * trillions). Standard near-dup practice: such signatures carry no
-    * discriminative information, like stopwords. Int.MaxValue disables. */
-  def lshCandidatePairs(signatures: DataFrame, maxBucket: Int = Int.MaxValue): DataFrame = {
+    * discriminative information, like stopwords. Int.MaxValue disables.
+    * The drop is observable exactly like [[simhashPairs]]: pass an
+    * Observation as `suppressed` and read `suppressed_buckets` /
+    * `suppressed_rows` after the first action (same AQE empty-result
+    * caveat as there: an EMPTY map means "metrics not delivered",
+    * zeros mean "nothing suppressed"). */
+  def lshCandidatePairs(signatures: DataFrame, maxBucket: Int = Int.MaxValue,
+      suppressed: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     if (maxBucket == Int.MaxValue) {
       // uncapped: classic band-bucket self-join (AQE splits hot buckets)
       val a = signatures.as("a")
       val b = signatures.as("b")
-      a.join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+      val joined = a.join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
+      // uncapped drops nothing: resolve a caller's Observation with zeros
+      suppressed.fold(joined)(o => joined.observe(o,
+        coalesce(sum(lit(0L)), lit(0L)).as("suppressed_buckets"),
+        coalesce(sum(lit(0L)), lit(0L)).as("suppressed_rows")))
     } else {
       // capped: ONE aggregation materializes each bucket's member list,
       // pairs expand in-row (bounded by maxBucket^2) — no self-join, and
       // each upstream signature row is computed exactly once.
-      val buckets = signatures
+      val bucketsAll = signatures
         .groupBy(col("band"), col("sig"))
         .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      val bucketsObs = suppressed.fold(bucketsAll)(o => bucketsAll.observe(o,
+        coalesce(sum(when(size(col("ids")) > maxBucket, 1L).otherwise(0L)), lit(0L))
+          .as("suppressed_buckets"),
+        coalesce(sum(when(size(col("ids")) > maxBucket, size(col("ids")).cast("long"))
+          .otherwise(0L)), lit(0L)).as("suppressed_rows")))
+      val buckets = bucketsObs
         .where(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
       buckets
         .select(col("ids"), posexplode(col("ids")))

@@ -262,6 +262,31 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(obs0.get("suppressed_rows").asInstanceOf[Long] == 0L)
   }
 
+  test("lsh suppressed-bucket drop is observable, zeros when uncapped") {
+    val ss = spark; import ss.implicits._
+    // identical docs -> identical signatures in every band -> one
+    // degenerate (band, sig) bucket of 12 per band; cap at 5
+    val same = (0 until 12).map(i => (f"l$i%03d", "identical lsh boilerplate body"))
+      .toDF("doc_id", "text")
+    val sigs = graft.ops.Dedup.minhashSignatures(same, bands = 4, shingleK = 5)
+    val ruleKey = "spark.sql.adaptive.optimizer.excludedRules"
+    spark.conf.set(ruleKey,
+      "org.apache.spark.sql.execution.adaptive.AQEPropagateEmptyRelation")
+    try {
+      val obs = org.apache.spark.sql.Observation("lsh_suppressed")
+      val out = graft.ops.Dedup.lshCandidatePairs(sigs, maxBucket = 5,
+        suppressed = Some(obs))
+      assert(out.count() == 0)
+      assert(obs.get("suppressed_buckets").asInstanceOf[Long] == 4L)
+      assert(obs.get("suppressed_rows").asInstanceOf[Long] == 48L)
+    } finally spark.conf.unset(ruleKey)
+    val obs0 = org.apache.spark.sql.Observation("lsh_suppressed_zero")
+    val out0 = graft.ops.Dedup.lshCandidatePairs(sigs, suppressed = Some(obs0))
+    assert(out0.count() == 66) // C(12, 2)
+    assert(obs0.get("suppressed_buckets").asInstanceOf[Long] == 0L)
+    assert(obs0.get("suppressed_rows").asInstanceOf[Long] == 0L)
+  }
+
   test("dedup ops are partitioning-independent (1 vs 7 partitions)") {
     val ss = spark; import ss.implicits._
     // shuffle-order independence: the same corpus at different input
