@@ -13,6 +13,29 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** The shared suppression-metric contract for capped pair generators
+    * ([[lshCandidatePairs]], [[simhashPairs]],
+    * [[graft.ops.Similarity.embeddingNearDups]]): `suppressed_buckets` /
+    * `suppressed_rows` ride the bucket aggregation via observe();
+    * coalesce because sum over ZERO rows is SQL NULL and the contract is
+    * "zeros mean nothing suppressed". */
+  private[ops] def observeSuppressed(buckets: DataFrame, membersCol: String,
+      maxBucket: Int, o: org.apache.spark.sql.Observation): DataFrame =
+    buckets.observe(o,
+      coalesce(sum(when(size(col(membersCol)) > maxBucket, 1L).otherwise(0L)), lit(0L))
+        .as("suppressed_buckets"),
+      coalesce(sum(when(size(col(membersCol)) > maxBucket,
+        size(col(membersCol)).cast("long")).otherwise(0L)), lit(0L))
+        .as("suppressed_rows"))
+
+  /** Uncapped modes drop nothing: resolve the caller's Observation with
+    * zeros so it always delivers regardless of the maxBucket setting. */
+  private[ops] def observeZeros(df: DataFrame,
+      o: org.apache.spark.sql.Observation): DataFrame =
+    df.observe(o,
+      coalesce(sum(lit(0L)), lit(0L)).as("suppressed_buckets"),
+      coalesce(sum(lit(0L)), lit(0L)).as("suppressed_rows"))
+
   /** Exact duplicate groups: md5 text key -> representative min(doc_id).
     * (analog of the phash dedup at kind=exact; groupBy is partial-agg.) */
   def exactDupGroups(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
@@ -107,10 +130,7 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
-      // uncapped drops nothing: resolve a caller's Observation with zeros
-      suppressed.fold(joined)(o => joined.observe(o,
-        coalesce(sum(lit(0L)), lit(0L)).as("suppressed_buckets"),
-        coalesce(sum(lit(0L)), lit(0L)).as("suppressed_rows")))
+      suppressed.fold(joined)(observeZeros(joined, _))
     } else {
       // capped: ONE aggregation materializes each bucket's member list,
       // pairs expand in-row (bounded by maxBucket^2) — no self-join, and
@@ -118,11 +138,8 @@ object Dedup {
       val bucketsAll = signatures
         .groupBy(col("band"), col("sig"))
         .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      val bucketsObs = suppressed.fold(bucketsAll)(o => bucketsAll.observe(o,
-        coalesce(sum(when(size(col("ids")) > maxBucket, 1L).otherwise(0L)), lit(0L))
-          .as("suppressed_buckets"),
-        coalesce(sum(when(size(col("ids")) > maxBucket, size(col("ids")).cast("long"))
-          .otherwise(0L)), lit(0L)).as("suppressed_rows")))
+      val bucketsObs = suppressed.fold(bucketsAll)(
+        observeSuppressed(bucketsAll, "ids", maxBucket, _))
       val buckets = bucketsObs
         .where(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
       buckets
@@ -266,14 +283,8 @@ object Dedup {
           .groupBy(col("blk"), col("key"))
           .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("members"))
         // the suppression metric rides the same aggregation — no extra job
-        // coalesce: sum over ZERO rows is SQL NULL, and the contract is
-        // "zeros mean nothing suppressed"
-        val bucketsObs = suppressed.fold(bucketsAll)(o => bucketsAll.observe(o,
-          coalesce(sum(when(size(col("members")) > maxBucket, 1L).otherwise(0L)), lit(0L))
-            .as("suppressed_buckets"),
-          coalesce(sum(when(size(col("members")) > maxBucket,
-            size(col("members")).cast("long")).otherwise(0L)), lit(0L))
-            .as("suppressed_rows")))
+        val bucketsObs = suppressed.fold(bucketsAll)(
+          observeSuppressed(bucketsAll, "members", maxBucket, _))
         val buckets = bucketsObs
           .where(size(col("members")) >= 2 && size(col("members")) <= maxBucket)
         buckets
@@ -292,12 +303,8 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .where(col("hamming") <= maxDist)
       .select("doc_a", "doc_b", "hamming")
-    // uncapped mode drops nothing: report zeros so a caller's Observation
-    // always resolves regardless of the maxBucket setting
     if (maxBucket == Int.MaxValue)
-      suppressed.fold(result)(o => result.observe(o,
-        coalesce(sum(lit(0L)), lit(0L)).as("suppressed_buckets"),
-        coalesce(sum(lit(0L)), lit(0L)).as("suppressed_rows")))
+      suppressed.fold(result)(observeZeros(result, _))
     else result
   }
 }

@@ -129,12 +129,9 @@ object Similarity {
     val bucketsAll = sigs
       .groupBy(col("band"), col("sig"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
-    // coalesce: sum over ZERO rows is SQL NULL; the contract is zeros
-    val bucketsObs = suppressed.fold(bucketsAll)(o => bucketsAll.observe(o,
-      coalesce(sum(when(size(col("ids")) > maxBucket, 1L).otherwise(0L)), lit(0L))
-        .as("suppressed_buckets"),
-      coalesce(sum(when(size(col("ids")) > maxBucket, size(col("ids")).cast("long"))
-        .otherwise(0L)), lit(0L)).as("suppressed_rows")))
+    // shared contract: Dedup.observeSuppressed (zeros-not-NULL, one job)
+    val bucketsObs = suppressed.fold(bucketsAll)(
+      Dedup.observeSuppressed(bucketsAll, "ids", maxBucket, _))
     val buckets = bucketsObs
       .where(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
     val candidates = buckets

@@ -280,6 +280,13 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(obs.get("suppressed_buckets").asInstanceOf[Long] == 4L)
       assert(obs.get("suppressed_rows").asInstanceOf[Long] == 48L)
     } finally spark.conf.unset(ruleKey)
+    // default AQE, empty result: the observation resolves to an EMPTY map
+    // (metrics node pruned with the plan) — never to false zeros
+    val obsPruned = org.apache.spark.sql.Observation("lsh_suppressed_pruned")
+    val outPruned = graft.ops.Dedup.lshCandidatePairs(sigs, maxBucket = 5,
+      suppressed = Some(obsPruned))
+    assert(outPruned.count() == 0)
+    assert(obsPruned.get.isEmpty)
     val obs0 = org.apache.spark.sql.Observation("lsh_suppressed_zero")
     val out0 = graft.ops.Dedup.lshCandidatePairs(sigs, suppressed = Some(obs0))
     assert(out0.count() == 66) // C(12, 2)
