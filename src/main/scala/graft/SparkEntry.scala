@@ -39,6 +39,19 @@ object SparkEntry {
     "x_phash_dedup" -> ((s, dir) => phashQuery(s, dir)),
     "x_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents").withColumn("doc_id", col("doc_id").cast("string")), maxDist = 16)),
+    // the streaming-ingest dedup path run in batch mode (same code path
+    // Structured Streaming executes per micro-batch; stream==batch is
+    // pinned in StreamingSpec): newest docs vs the historical-corpus index
+    "x_stream_neardup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.where(col("doc_id") < 400)
+        .withColumn("doc_id", col("doc_id").cast("string"))
+      val incoming = docs.where(col("doc_id") >= 400)
+        .withColumn("doc_id", col("doc_id").cast("string"))
+      graft.streaming.NearDupStream.candidates(incoming,
+        graft.streaming.NearDupStream.corpusIndex(corpus), maxDist = 16)
+        .distinct().orderBy(col("doc_id"), col("corpus_id"))
+    }),
     "x_media_meta" -> ((s, dir) => {
       import s.implicits._
       graft.multimodal.Media.extractMeta(

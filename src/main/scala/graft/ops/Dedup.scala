@@ -242,18 +242,19 @@ object Dedup {
     * `spark.conf.set("spark.sql.adaptive.optimizer.excludedRules",
     * "org.apache.spark.sql.execution.adaptive.AQEPropagateEmptyRelation")`
     * (runtime-settable; SparkE2ESpec pins both behaviors). */
-  def simhashPairs(docs: DataFrame, maxDist: Int = 3, maxBucket: Int = 1000,
-      nBlocks: Int = 4, idCol: String = "doc_id", textCol: String = "text",
-      suppressed: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+  /** (doc_id, simhash, blk, key) block rows for SimHash bucketing —
+    * pure codegen expressions end-to-end (simhash64 in-row, bit-slice
+    * block keys), so this derivation is STREAMING-SAFE: it runs
+    * identically on a batch DataFrame and inside a Structured Streaming
+    * micro-batch (no aggregation, no state). 64 bits split as evenly as
+    * possible; the first (64 % nBlocks) blocks are one bit wider
+    * (nBlocks=4 gives the classic 4x16 layout). Null text hashes to 0L
+    * (null keys would silently drop rows from the equi-join instead). */
+  def simhashBlocks(docs: DataFrame, nBlocks: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(nBlocks >= 1 && nBlocks <= 64, s"nBlocks must be in [1, 64], got $nBlocks")
-    // codegen Catalyst expression; the map stage over the full corpus
-    // stays in whole-stage codegen. Null text hashes to 0L like the old
-    // UDF's empty-token path (null keys would silently drop those rows
-    // from the equi-join instead).
     val withSim = docs.select(col(idCol).as("doc_id"),
       coalesce(graft.functions.GraftColumns.simhash64(col(textCol)), lit(0L)).as("simhash"))
-    // 64 bits split as evenly as possible: the first (64 % nBlocks)
-    // blocks are one bit wider. nBlocks=4 gives the classic 4x16 layout.
     val base = 64 / nBlocks
     val rem = 64 % nBlocks
     val widths = (0 until nBlocks).map(b => base + (if (b < rem) 1 else 0))
@@ -263,9 +264,15 @@ object Dedup {
       struct(lit(b).as("blk"),
         shiftrightunsigned(col("simhash"), starts(b)).bitwiseAND(lit(mask)).as("key"))
     }
-    val blocks = withSim
+    withSim
       .select(col("doc_id"), col("simhash"), explode(array(keyCols: _*)).as("bk"))
       .select(col("doc_id"), col("simhash"), col("bk.blk").as("blk"), col("bk.key").as("key"))
+  }
+
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3, maxBucket: Int = 1000,
+      nBlocks: Int = 4, idCol: String = "doc_id", textCol: String = "text",
+      suppressed: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    val blocks = simhashBlocks(docs, nBlocks, idCol, textCol)
     val pairs =
       if (maxBucket == Int.MaxValue) {
         // uncapped: classic block-bucket self-join (AQE splits hot buckets)

@@ -26,6 +26,45 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
+  test("streaming near-dup vs static corpus index == batch, across micro-batches") {
+    val ss = spark; import ss.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // historical corpus: distinct docs + a near-dup cluster
+    val corpus = Seq(
+      ("c0", "the quick brown fox jumps over the lazy dog again and again"),
+      ("c1", "completely different corpus text about spark execution plans"),
+      ("c2", "the quick brown fox jumps over the lazy dog again and again!"),
+      ("c3", "unrelated third document body with its own vocabulary set")
+    ).toDF("doc_id", "text")
+    val index = graft.streaming.NearDupStream.corpusIndex(corpus).cache()
+    // incoming stream: near-dups of c0/c2, an exact dup of c1, a fresh doc
+    val incoming = Seq(
+      ("s0", "the quick brown fox jumps over the lazy dog again and again"),
+      ("s1", "completely different corpus text about spark execution plans"),
+      ("s2", "brand new document that matches nothing in the corpus at all"),
+      ("s3", "the quick brown fox jumps over the lazy dog again + again"))
+    val batchExpected = graft.streaming.NearDupStream
+      .candidates(incoming.toDF("doc_id", "text"), index, maxDist = 16)
+      .distinct().as[(String, String, Int)].collect().toSet
+    assert(batchExpected.exists(_._1 == "s0") && batchExpected.exists(_._1 == "s1"))
+    assert(!batchExpected.exists(_._1 == "s2"))
+
+    val input = MemoryStream[(String, String)]
+    val got = scala.collection.mutable.Set[(String, String, Int)]()
+    val query = graft.streaming.NearDupStream
+      .candidates(input.toDF().toDF("doc_id", "text"), index, maxDist = 16)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // production sink shape: per-batch distinct (bounded, stateless)
+        got ++= batch.distinct().as[(String, String, Int)](
+          org.apache.spark.sql.Encoders.product[(String, String, Int)]).collect()
+        ()
+      }.start()
+    incoming.grouped(2).foreach { b => input.addData(b); query.processAllAvailable() }
+    query.stop()
+    assert(got.toSet == batchExpected)
+  }
+
   test("flatMapGroupsWithState dedup == batch fold across micro-batches") {
     val ss = spark; import ss.implicits._
     implicit val sqlCtx = spark.sqlContext
