@@ -183,6 +183,15 @@ object SparkEntry {
     "q_reading_order" -> ((s, dir) => readingOrderOracleQuery(s, dir)),
     "q_phash_dedup" -> ((s, dir) => phashOracleQuery(s, dir)),
     "q_media_meta" -> ((s, dir) => mediaOracleQuery(s, dir)),
+    // corpus-statistics-informed quality scoring: the corpus' own trigram
+    // frequency model feeds back as a per-doc rare-trigram ratio; the
+    // threshold is scale-free (corpus_docs / 5) so the oracle stays
+    // meaningful at every sf tier
+    "q_rare_ngram" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.TextAnalytics.rareTrigramScores(docs, rareThreshold = docs.count() / 5)
+        .orderBy(col("doc_id"))
+    }),
     "q_agg_lineitem" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -409,6 +418,18 @@ object SparkEntry {
                 TRUE AS ok
          FROM (SELECT doc_id, unnest(range(0, CAST(doc_id % 4 AS BIGINT))) AS k
                FROM documents WHERE doc_id < 300 AND doc_id % 4 > 0)""",
+    "q_rare_ngram" ->
+      """WITH tris AS (
+           SELECT doc_id, unnest(CASE WHEN length(text) < 3 THEN [text]
+                  ELSE [substr(text, i, 3) FOR i IN range(1, length(text) - 1)] END) AS tri
+           FROM documents),
+         model AS (SELECT tri, count(*) AS cnt FROM tris GROUP BY tri)
+         SELECT doc_id, count(*) AS n_tri,
+                CAST(sum(CASE WHEN cnt <= (SELECT count(*) FROM documents) / 5
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+                round(CAST(sum(CASE WHEN cnt <= (SELECT count(*) FROM documents) / 5
+                              THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS rare_ratio
+         FROM tris JOIN model USING (tri) GROUP BY doc_id""",
     "q_agg_lineitem" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,

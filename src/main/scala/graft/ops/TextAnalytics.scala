@@ -71,4 +71,36 @@ object TextAnalytics {
   def withFingerprints(df: DataFrame, textCol: String = "text"): DataFrame =
     df.withColumn("fp_md5", md5(col(textCol)))
       .withColumn("fp_xx64", xxhash64(col(textCol)))
+
+  /** Corpus-statistics-informed quality scoring (the CCNet-family shape:
+    * the corpus' OWN n-gram frequency model feeds back as a per-doc
+    * filter signal — unlike the per-doc heuristics above, this op's
+    * model is an aggregate of the whole dataset).
+    *
+    * Score = rare-trigram ratio: the fraction of a doc's character
+    * trigrams (multiset — frequency weighting is the point) whose CORPUS
+    * frequency is <= rareThreshold. Garbled OCR, boilerplate mangling,
+    * and wrong-language fragments surface as high ratios; integer
+    * arithmetic end-to-end (+ one round()) keeps it bit-reproducible in
+    * DuckDB for the oracle gate.
+    *
+    * Scale shape: one partial-agg shuffle builds the model (bounded by
+    * the distinct-trigram vocabulary, ~1M rows for natural text at ANY
+    * corpus size — broadcastable); the score join shuffles doc trigrams
+    * by trigram key, AQE choosing broadcast once the model side's true
+    * size is known. Reuses [[Dedup.shingles]] (k=3) so the trigram
+    * definition is shared with the dedup family (text shorter than 3
+    * chars contributes itself as its only "trigram"). */
+  def rareTrigramScores(docs: DataFrame, rareThreshold: Long = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tris = docs.select(col(idCol).as("doc_id"),
+      explode(Dedup.shingles(col(textCol), 3)).as("tri"))
+    val model = tris.groupBy(col("tri")).agg(count(lit(1)).as("cnt"))
+    tris.join(model, "tri")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tri"),
+        sum(when(col("cnt") <= rareThreshold, 1L).otherwise(0L)).as("n_rare"))
+      .withColumn("rare_ratio",
+        round(col("n_rare").cast("double") / col("n_tri"), 4))
+  }
 }
