@@ -190,6 +190,33 @@ object Dedup {
     out
   }
 
+  /** (doc_id, simhash, blk, key) block rows for SimHash bucketing —
+    * pure codegen expressions end-to-end (simhash64 in-row, bit-slice
+    * block keys), so this derivation is STREAMING-SAFE: it runs
+    * identically on a batch DataFrame and inside a Structured Streaming
+    * micro-batch (no aggregation, no state). 64 bits split as evenly as
+    * possible; the first (64 % nBlocks) blocks are one bit wider
+    * (nBlocks=4 gives the classic 4x16 layout). Null text hashes to 0L
+    * (null keys would silently drop rows from the equi-join instead). */
+  def simhashBlocks(docs: DataFrame, nBlocks: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(nBlocks >= 1 && nBlocks <= 64, s"nBlocks must be in [1, 64], got $nBlocks")
+    val withSim = docs.select(col(idCol).as("doc_id"),
+      coalesce(graft.functions.GraftColumns.simhash64(col(textCol)), lit(0L)).as("simhash"))
+    val base = 64 / nBlocks
+    val rem = 64 % nBlocks
+    val widths = (0 until nBlocks).map(b => base + (if (b < rem) 1 else 0))
+    val starts = widths.scanLeft(0)(_ + _)
+    val keyCols = (0 until nBlocks).map { b =>
+      val mask = if (widths(b) >= 64) -1L else (1L << widths(b)) - 1L
+      struct(lit(b).as("blk"),
+        shiftrightunsigned(col("simhash"), starts(b)).bitwiseAND(lit(mask)).as("key"))
+    }
+    withSim
+      .select(col("doc_id"), col("simhash"), explode(array(keyCols: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.blk").as("blk"), col("bk.key").as("key"))
+  }
+
   /** SimHash near-dup candidates: block-permutation buckets (the 64-bit
     * signature split into nBlocks near-equal bit blocks; docs sharing any
     * exact block become candidates), then exact popcount check
@@ -242,33 +269,6 @@ object Dedup {
     * `spark.conf.set("spark.sql.adaptive.optimizer.excludedRules",
     * "org.apache.spark.sql.execution.adaptive.AQEPropagateEmptyRelation")`
     * (runtime-settable; SparkE2ESpec pins both behaviors). */
-  /** (doc_id, simhash, blk, key) block rows for SimHash bucketing —
-    * pure codegen expressions end-to-end (simhash64 in-row, bit-slice
-    * block keys), so this derivation is STREAMING-SAFE: it runs
-    * identically on a batch DataFrame and inside a Structured Streaming
-    * micro-batch (no aggregation, no state). 64 bits split as evenly as
-    * possible; the first (64 % nBlocks) blocks are one bit wider
-    * (nBlocks=4 gives the classic 4x16 layout). Null text hashes to 0L
-    * (null keys would silently drop rows from the equi-join instead). */
-  def simhashBlocks(docs: DataFrame, nBlocks: Int = 4,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    require(nBlocks >= 1 && nBlocks <= 64, s"nBlocks must be in [1, 64], got $nBlocks")
-    val withSim = docs.select(col(idCol).as("doc_id"),
-      coalesce(graft.functions.GraftColumns.simhash64(col(textCol)), lit(0L)).as("simhash"))
-    val base = 64 / nBlocks
-    val rem = 64 % nBlocks
-    val widths = (0 until nBlocks).map(b => base + (if (b < rem) 1 else 0))
-    val starts = widths.scanLeft(0)(_ + _)
-    val keyCols = (0 until nBlocks).map { b =>
-      val mask = if (widths(b) >= 64) -1L else (1L << widths(b)) - 1L
-      struct(lit(b).as("blk"),
-        shiftrightunsigned(col("simhash"), starts(b)).bitwiseAND(lit(mask)).as("key"))
-    }
-    withSim
-      .select(col("doc_id"), col("simhash"), explode(array(keyCols: _*)).as("bk"))
-      .select(col("doc_id"), col("simhash"), col("bk.blk").as("blk"), col("bk.key").as("key"))
-  }
-
   def simhashPairs(docs: DataFrame, maxDist: Int = 3, maxBucket: Int = 1000,
       nBlocks: Int = 4, idCol: String = "doc_id", textCol: String = "text",
       suppressed: Option[org.apache.spark.sql.Observation] = None): DataFrame = {

@@ -31,23 +31,56 @@ import org.apache.spark.sql.functions._
   */
 object NearDupStream {
 
-  /** Batch-side index of the historical corpus: (blk, key, doc_id,
-    * simhash) block rows, renamed for the stream-static join. */
-  def corpusIndex(corpus: DataFrame, nBlocks: Int = 4,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    graft.ops.Dedup.simhashBlocks(corpus, nBlocks, idCol, textCol)
+  /** Batch-side index of the historical corpus: (blk, key, corpus_id,
+    * corpus_sim, nblocks) block rows. The block LAYOUT (`nblocks`) is
+    * carried IN the index so [[candidates]] can never join bit-slices
+    * from a different layout — a silent recall-to-zero footgun otherwise.
+    *
+    * Degenerate block buckets are capped exactly like the batch op
+    * ([[graft.ops.Dedup.simhashPairs]] maxBucket, same default and
+    * rationale): a boilerplate-heavy corpus concentrates mass in few
+    * (blk, key) groups (all-empty docs hash to simhash 0L), and an
+    * uncapped hot key joined against every micro-batch would emit
+    * |bucket| x |batch-hits| rows per batch. Capping the STATIC side
+    * bounds the join product; the drop is observable via `suppressed`
+    * (same contract as the batch ops). */
+  def corpusIndex(corpus: DataFrame, nBlocks: Int = 4, maxBucket: Int = 1000,
+      idCol: String = "doc_id", textCol: String = "text",
+      suppressed: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    val blocks = graft.ops.Dedup.simhashBlocks(corpus, nBlocks, idCol, textCol)
       .select(col("blk"), col("key"),
         col("doc_id").as("corpus_id"), col("simhash").as("corpus_sim"))
+    val counts = blocks.groupBy(col("blk"), col("key"))
+      .agg(count(lit(1)).as("bucket_n"))
+    val countsObs = suppressed.fold(counts)(o => counts.observe(o,
+      coalesce(sum(when(col("bucket_n") > maxBucket, 1L).otherwise(0L)), lit(0L))
+        .as("suppressed_buckets"),
+      coalesce(sum(when(col("bucket_n") > maxBucket, col("bucket_n")).otherwise(0L)),
+        lit(0L)).as("suppressed_rows")))
+    blocks.join(countsObs.where(col("bucket_n") <= maxBucket), Seq("blk", "key"))
+      .drop("bucket_n")
+      .withColumn("nblocks", lit(nBlocks))
+  }
 
   /** Near-dup candidates of `incoming` (batch OR streaming DataFrame)
     * against a [[corpusIndex]]: block-key equi-join + exact popcount.
-    * Emits (doc_id, corpus_id, hamming) — once per SHARED BLOCK; apply
+    * The block layout comes FROM the index (its `nblocks` column — one
+    * tiny static-side action at plan-build time), so incoming docs are
+    * always sliced with the layout the index was built with. Emits
+    * (doc_id, corpus_id, hamming) — once per SHARED BLOCK; apply
     * dropDuplicates in the per-batch sink (see scaladoc above). */
   def candidates(incoming: DataFrame, index: DataFrame, maxDist: Int = 3,
-      nBlocks: Int = 4, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(index.columns.contains("nblocks"),
+      "index must come from NearDupStream.corpusIndex (missing nblocks column)")
+    val layouts = index.select("nblocks").distinct().as[Int](
+      org.apache.spark.sql.Encoders.scalaInt).collect()
+    require(layouts.length <= 1, s"index mixes block layouts: ${layouts.mkString(",")}")
+    val nBlocks = if (layouts.isEmpty) 4 else layouts.head
     graft.ops.Dedup.simhashBlocks(incoming, nBlocks, idCol, textCol)
-      .join(index, Seq("blk", "key"))
+      .join(index.drop("nblocks"), Seq("blk", "key"))
       .withColumn("hamming", bit_count(col("simhash").bitwiseXOR(col("corpus_sim"))))
       .where(col("hamming") <= maxDist)
       .select(col("doc_id"), col("corpus_id"), col("hamming"))
+  }
 }
