@@ -120,15 +120,18 @@ langs = np.array(["en", "en", "en", "en", "de", "zh", "fr", "es"])  # en-heavy l
 texts, n_words = [], rng.integers(8, 105, N_DOC)
 for i in range(N_DOC):
     texts.append(" ".join(vocab[rng.integers(0, len(vocab), n_words[i])]))
-# exact-dup clones: distinct (a, b) with each target cloned at most once,
+# exact-dup clones: distinct (a, b) with every doc touching at most ONE
+# clone pair (targets AND sources tracked — a source picked later as a
+# target would overwrite its text and silently break the earlier pair),
 # so the realized dup rate matches the claimed ~0.3%
-cloned = set()
+cloned, used = set(), set()
 while len(cloned) < max(1, int(N_DOC * 0.003)):
     a, b = rng.choice(N_DOC, 2, replace=False)
-    if a in cloned or b in cloned:
+    if a in used or b in used:
         continue
     texts[a] = texts[b]
     cloned.add(a)
+    used.update((a, b))
 w("documents", pa.table({
     "doc_id": pa.array(range(N_DOC), pa.int64()),
     "text": texts,

@@ -63,6 +63,28 @@ object BenchAB {
           s.read.parquet(s"$dir/documents.parquet")
             .withColumn("doc_id", org.apache.spark.sql.functions.col("doc_id").cast("string")),
           maxDist = 16, maxBucket = Int.MaxValue),
+        identical = false),
+      // r04-verdict #6: legacy rare-trigram shape (ALL doc-trigram
+      // occurrences joined against the FULL model, n_tri from the join)
+      // vs the shipped shape (join-free n_tri + model pre-filtered to its
+      // rare subset before the join)
+      "raretri_fulljoin_vs_prefilter" -> Pair(
+        (s: SparkSession, dir: String) => {
+          import org.apache.spark.sql.functions._
+          val docs = s.read.parquet(s"$dir/documents.parquet")
+          val tris = docs.select(col("doc_id"),
+            explode(graft.ops.Dedup.shingles(col("text"), 3)).as("tri"))
+          val model = tris.groupBy(col("tri")).agg(count(lit(1)).as("cnt"))
+          val thr = docs.agg(floor(count(lit(1)) / 5).cast("long").as("rare_thr"))
+          tris.join(model, "tri").join(broadcast(thr))
+            .groupBy(col("doc_id"))
+            .agg(count(lit(1)).as("n_tri"),
+              sum(when(col("cnt") <= col("rare_thr"), 1L).otherwise(0L)).as("n_rare"))
+            .withColumn("rare_ratio",
+              round(col("n_rare").cast("double") / col("n_tri"), 4))
+        },
+        (s: SparkSession, dir: String) => graft.ops.TextAnalytics
+          .rareTrigramScoresScaleFree(s.read.parquet(s"$dir/documents.parquet")),
         identical = false)
     )
   }

@@ -73,8 +73,7 @@ object Main {
         val par = pos.drop(1).headOption.map(parseIntArg("parallelism")).getOrElse(4)
         if (pos.length > 2)
           throw CliError(s"error: unrecognized arguments: ${pos.drop(2).mkString(" ")}")
-        val docs = graft.io.SyntheticCorpus.docs(spark,
-          parseIntArg("nDocs")(nDocs).toLong)
+        val docs = graft.io.SyntheticCorpus.docs(spark, parseLongArg("nDocs")(nDocs))
         val manifests = graft.pipeline.Checkpoint.run(docs, outDir, buckets, format = fmt,
           parallelism = par, metricsMode = metricsMode(opts))
         report(outDir, manifests, spark)
@@ -225,6 +224,12 @@ object Main {
   /** argparse `type=int` semantics: a non-int value errors (exit 2). */
   private[graft] def parseIntArg(flag: String)(v: String): Int =
     v.toIntOption.getOrElse(
+      throw CliError(s"error: argument $flag: invalid int value: '$v'"))
+
+  /** Long-range count arguments (nDocs can exceed 2^31-1 for large
+    * rehearsal corpora; buckets/parallelism stay Int). */
+  private[graft] def parseLongArg(flag: String)(v: String): Long =
+    v.toLongOption.getOrElse(
       throw CliError(s"error: argument $flag: invalid int value: '$v'"))
 
   /** The two required positionals of every mode; missing ones error like

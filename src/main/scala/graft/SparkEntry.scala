@@ -185,13 +185,12 @@ object SparkEntry {
     "q_media_meta" -> ((s, dir) => mediaOracleQuery(s, dir)),
     // corpus-statistics-informed quality scoring: the corpus' own trigram
     // frequency model feeds back as a per-doc rare-trigram ratio; the
-    // threshold is scale-free (corpus_docs / 5) so the oracle stays
-    // meaningful at every sf tier
-    "q_rare_ngram" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      graft.ops.TextAnalytics.rareTrigramScores(docs, rareThreshold = docs.count() / 5)
-        .orderBy(col("doc_id"))
-    }),
+    // threshold is scale-free (corpus_docs / 5, computed IN-PLAN — no
+    // driver-side action at plan build) so the oracle stays meaningful at
+    // every sf tier
+    "q_rare_ngram" -> ((s, dir) =>
+      graft.ops.TextAnalytics.rareTrigramScoresScaleFree(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
     "q_agg_lineitem" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))

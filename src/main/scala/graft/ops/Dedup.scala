@@ -270,7 +270,7 @@ object Dedup {
     * "org.apache.spark.sql.execution.adaptive.AQEPropagateEmptyRelation")`
     * (runtime-settable; SparkE2ESpec pins both behaviors). */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3, maxBucket: Int = 1000,
-      nBlocks: Int = 4, idCol: String = "doc_id", textCol: String = "text",
+      idCol: String = "doc_id", textCol: String = "text", nBlocks: Int = 4,
       suppressed: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     val blocks = simhashBlocks(docs, nBlocks, idCol, textCol)
     val pairs =

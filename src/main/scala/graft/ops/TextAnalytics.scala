@@ -86,21 +86,47 @@ object TextAnalytics {
     *
     * Scale shape: one partial-agg shuffle builds the model (bounded by
     * the distinct-trigram vocabulary, ~1M rows for natural text at ANY
-    * corpus size — broadcastable); the score join shuffles doc trigrams
-    * by trigram key, AQE choosing broadcast once the model side's true
-    * size is known. Reuses [[Dedup.shingles]] (k=3) so the trigram
+    * corpus size — broadcastable), then the model is PRE-FILTERED to its
+    * rare subset before the join: only rare trigrams affect `n_rare`, so
+    * the build side shrinks by the common-trigram mass (on natural
+    * corpora that is most occurrence volume). `n_tri` never needed the
+    * join at all — a doc's trigram multiset size is `max(len - 2, 1)`,
+    * computed map-side. Docs with zero rare trigrams are restored by a
+    * left join against the (doc_id, n_tri) base — N small rows, not the
+    * exploded occurrences. Reuses [[Dedup.shingles]] (k=3) so the trigram
     * definition is shared with the dedup family (text shorter than 3
     * chars contributes itself as its only "trigram"). */
   def rareTrigramScores(docs: DataFrame, rareThreshold: Long = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    rareScores(docs, m => m.where(col("cnt") <= rareThreshold), idCol, textCol)
+
+  /** Scale-free thresholding (threshold = floor(corpus_docs / divisor))
+    * with the count computed IN-PLAN: a one-row count aggregate is
+    * cross-joined (broadcast) into the model filter, so plan build runs
+    * no driver-side action — the whole thing is one job. Floor-division
+    * comparison against an integer `cnt` is exactly the Long-division
+    * threshold a caller would pass to [[rareTrigramScores]]. */
+  def rareTrigramScoresScaleFree(docs: DataFrame, divisor: Long = 5,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val thr = docs.agg(floor(count(lit(1)) / divisor).cast("long").as("rare_thr"))
+    rareScores(docs,
+      m => m.join(broadcast(thr)).where(col("cnt") <= col("rare_thr")), idCol, textCol)
+  }
+
+  private def rareScores(docs: DataFrame, rareOnly: DataFrame => DataFrame,
+      idCol: String, textCol: String): DataFrame = {
     val tris = docs.select(col(idCol).as("doc_id"),
       explode(Dedup.shingles(col(textCol), 3)).as("tri"))
     val model = tris.groupBy(col("tri")).agg(count(lit(1)).as("cnt"))
-    tris.join(model, "tri")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tri"),
-        sum(when(col("cnt") <= rareThreshold, 1L).otherwise(0L)).as("n_rare"))
-      .withColumn("rare_ratio",
-        round(col("n_rare").cast("double") / col("n_tri"), 4))
+    val rareCounts = tris.join(rareOnly(model).select("tri"), "tri")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_rare"))
+    docs.select(col(idCol).as("doc_id"),
+        when(length(col(textCol)) < 3, lit(1L))
+          .otherwise((length(col(textCol)) - 2).cast("long")).as("n_tri"))
+      .join(rareCounts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tri"),
+        coalesce(col("n_rare"), lit(0L)).as("n_rare"),
+        round(coalesce(col("n_rare"), lit(0L)).cast("double") / col("n_tri"), 4)
+          .as("rare_ratio"))
   }
 }
