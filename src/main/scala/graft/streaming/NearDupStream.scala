@@ -62,21 +62,78 @@ object NearDupStream {
       .withColumn("nblocks", lit(nBlocks))
   }
 
+  /** A persisted corpus index handle: the block rows plus the block
+    * layout read from the O(1) `_index_meta` sidecar — no index scan at
+    * streaming-query start. Obtain via [[loadIndex]]. */
+  final case class CorpusIndex(df: DataFrame, nBlocks: Int) {
+    def candidates(incoming: DataFrame, maxDist: Int = 3,
+        idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+      NearDupStream.candidates(incoming, df, maxDist, idCol, textCol,
+        nBlocksKnown = Some(nBlocks))
+  }
+
+  /** Persist a [[corpusIndex]] with its layout as METADATA: the index
+    * parquet plus a one-row `_index_meta` sidecar (underscore-prefixed,
+    * so table readers ignore it) carrying `nblocks`. Layout consistency
+    * is validated ON the write job via observe() — a mixed-layout index
+    * (concatenated indexes built with different nBlocks) fails HERE, at
+    * build time, instead of poisoning every later stream join. With the
+    * sidecar, [[loadIndex]]/[[CorpusIndex.candidates]] never scan the
+    * index to discover its layout — the probe is one tiny file read
+    * regardless of index size. */
+  def writeIndex(index: DataFrame, path: String): Unit = {
+    val spark = index.sparkSession
+    val obs = new org.apache.spark.sql.Observation("index_layout")
+    index.observe(obs, min(col("nblocks")).as("mn"), max(col("nblocks")).as("mx"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+    // empty map = AQE dropped the metrics node on a fully-empty result
+    // (the documented AQEPropagateEmptyRelation caveat) — same meaning as
+    // null min/max: nothing written, nothing to validate
+    val m = obs.get
+    val (mn, mx) = (m.get("mn").flatMap(Option(_)).map(_.asInstanceOf[Int]),
+      m.get("mx").flatMap(Option(_)).map(_.asInstanceOf[Int]))
+    require(mn == mx, s"index mixes block layouts: ${mn.get}..${mx.get} — " +
+      "rebuild with one corpusIndex nBlocks")
+    // empty corpus -> empty index: any layout joins to zero candidates;
+    // record the default so loadIndex stays total
+    val nBlocks = mn.getOrElse(4)
+    import spark.implicits._
+    Seq(nBlocks).toDF("nblocks").repartition(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$path/_index_meta")
+  }
+
+  /** Load a [[writeIndex]]-persisted index: the layout comes from the
+    * one-row sidecar (O(1) — independent of index size). */
+  def loadIndex(spark: org.apache.spark.sql.SparkSession, path: String): CorpusIndex = {
+    val meta = spark.read.parquet(s"$path/_index_meta")
+      .select(col("nblocks").cast("int"))
+      .as[Int](org.apache.spark.sql.Encoders.scalaInt).collect()
+    require(meta.length == 1, s"malformed _index_meta at $path (${meta.length} rows)")
+    CorpusIndex(spark.read.parquet(path), meta.head)
+  }
+
   /** Near-dup candidates of `incoming` (batch OR streaming DataFrame)
     * against a [[corpusIndex]]: block-key equi-join + exact popcount.
-    * The block layout comes FROM the index (its `nblocks` column — one
-    * tiny static-side action at plan-build time), so incoming docs are
-    * always sliced with the layout the index was built with. Emits
+    * The block layout comes FROM the index — via `nBlocksKnown` when the
+    * index was loaded through the [[loadIndex]] sidecar (O(1), the
+    * production path), else discovered by a one-column distinct over the
+    * index at plan-build time (fine for an in-memory index; a full
+    * column scan against a persisted corpus-scale one — use
+    * [[loadIndex]] there). Either way incoming docs are always sliced
+    * with the layout the index was built with. Emits
     * (doc_id, corpus_id, hamming) — once per SHARED BLOCK; apply
     * dropDuplicates in the per-batch sink (see scaladoc above). */
   def candidates(incoming: DataFrame, index: DataFrame, maxDist: Int = 3,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      nBlocksKnown: Option[Int] = None): DataFrame = {
     require(index.columns.contains("nblocks"),
       "index must come from NearDupStream.corpusIndex (missing nblocks column)")
-    val layouts = index.select("nblocks").distinct().as[Int](
-      org.apache.spark.sql.Encoders.scalaInt).collect()
-    require(layouts.length <= 1, s"index mixes block layouts: ${layouts.mkString(",")}")
-    val nBlocks = if (layouts.isEmpty) 4 else layouts.head
+    val nBlocks = nBlocksKnown.getOrElse {
+      val layouts = index.select("nblocks").distinct().as[Int](
+        org.apache.spark.sql.Encoders.scalaInt).collect()
+      require(layouts.length <= 1, s"index mixes block layouts: ${layouts.mkString(",")}")
+      if (layouts.isEmpty) 4 else layouts.head
+    }
     graft.ops.Dedup.simhashBlocks(incoming, nBlocks, idCol, textCol)
       .join(index.drop("nblocks"), Seq("blk", "key"))
       .withColumn("hamming", bit_count(col("simhash").bitwiseXOR(col("corpus_sim"))))

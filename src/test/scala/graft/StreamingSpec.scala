@@ -65,6 +65,47 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSet == batchExpected)
   }
 
+  test("persisted corpus index: O(1) layout sidecar, mixed-layout write rejected") {
+    val ss = spark; import ss.implicits._
+    val corpus = Seq(
+      ("c0", "the quick brown fox jumps over the lazy dog again and again"),
+      ("c1", "completely different corpus text about spark execution plans"),
+      ("c2", "the quick brown fox jumps over the lazy dog again and again!"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("ndsidx").toString
+    // non-default layout proves the sidecar is READ, not defaulted
+    graft.streaming.NearDupStream.writeIndex(
+      graft.streaming.NearDupStream.corpusIndex(corpus, nBlocks = 8), s"$dir/idx")
+    // the sidecar is one tiny parquet row, underscore-hidden from table reads
+    assert(new java.io.File(s"$dir/idx/_index_meta").isDirectory)
+    val loaded = graft.streaming.NearDupStream.loadIndex(spark, s"$dir/idx")
+    assert(loaded.nBlocks == 8)
+    val incoming = Seq(
+      ("s0", "the quick brown fox jumps over the lazy dog again and again"),
+      ("s1", "brand new document that matches nothing in the corpus at all"))
+      .toDF("doc_id", "text")
+    // sidecar path == scan-discovery path, row for row
+    val viaSidecar = loaded.candidates(incoming, maxDist = 16)
+      .as[(String, String, Int)].collect().toSet
+    val viaScan = graft.streaming.NearDupStream.candidates(
+        incoming, loaded.df, maxDist = 16)
+      .as[(String, String, Int)].collect().toSet
+    assert(viaSidecar == viaScan && viaSidecar.exists(_._1 == "s0") &&
+      !viaSidecar.exists(_._1 == "s1"))
+    // a concatenation of indexes built with different layouts must fail
+    // AT WRITE TIME (layout validation rides the write job)
+    val mixed = graft.streaming.NearDupStream.corpusIndex(corpus, nBlocks = 4)
+      .unionByName(graft.streaming.NearDupStream.corpusIndex(corpus, nBlocks = 8))
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.NearDupStream.writeIndex(mixed, s"$dir/bad")
+    }
+    assert(e.getMessage.contains("block layouts"))
+    // empty corpus: write succeeds, loads with the documented default
+    graft.streaming.NearDupStream.writeIndex(
+      graft.streaming.NearDupStream.corpusIndex(corpus.limit(0)), s"$dir/empty")
+    assert(graft.streaming.NearDupStream.loadIndex(spark, s"$dir/empty").nBlocks == 4)
+  }
+
   test("flatMapGroupsWithState dedup == batch fold across micro-batches") {
     val ss = spark; import ss.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -96,6 +137,63 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(gotDoc.map(k => (k.frame_idx, k.page_num, k.phash)) == expected, s"$docId")
     }
     query.stop()
+  }
+
+  test("restart from checkpoint: stateful dedup across a stop/restart == uninterrupted fold") {
+    // the streaming analog of the batch kill/rerun invariant (reference
+    // resume semantics: src/layout_ocr.py:352-379): a REPLAYABLE source
+    // (files), a transactional sink (parquet + checkpointLocation), and a
+    // restart in between — the state store must recover last-kept-frame
+    // state so the union of outputs equals the uninterrupted run
+    val ss = spark; import ss.implicits._
+    val base = java.nio.file.Files.createTempDirectory("dedup_ckpt").toString
+    val (inDir, outDir, ckDir) = (s"$base/in", s"$base/out", s"$base/ck")
+    val r = new scala.util.Random(13)
+    val docs = (0 until 5).map { d =>
+      var h = r.nextLong()
+      val frames = (1 to 40).map { i =>
+        if (r.nextInt(3) != 0) h ^= (r.nextLong() & (0xffffL << r.nextInt(48)))
+        Frame(s"doc_$d", i, h)
+      }
+      s"doc_$d" -> frames
+    }.toMap
+    // 4 input files, split WITHIN docs so the restart lands mid-document
+    // and the recovered state actually matters
+    val all = docs.values.flatten.toVector.sortBy(f => (f.frame_idx, f.doc_id))
+    val chunks = all.grouped(math.max(1, all.size / 4 + 1)).toVector
+    def writeChunk(i: Int): Unit =
+      chunks(i).toDS().repartition(1).write.parquet(s"$inDir/chunk=$i")
+
+    def startQuery() = DedupStream.run(
+        spark.readStream.schema(implicitly[org.apache.spark.sql.Encoder[Frame]].schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$inDir/chunk=*").as[Frame])
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckDir).start()
+
+    // phase 1: first half of the input, then STOP the query
+    writeChunk(0); writeChunk(1)
+    val q1 = startQuery()
+    q1.processAllAvailable(); q1.stop()
+    val afterPhase1 = spark.read.parquet(outDir).count()
+    // phase 2: rest of the input arrives while no query is running; a
+    // FRESH query (new instance, same checkpoint) must resume offsets +
+    // state, not reprocess chunk 0/1 (no duplicate kept frames) and not
+    // restart page numbering
+    writeChunk(2); writeChunk(3)
+    val q2 = startQuery()
+    q2.processAllAvailable(); q2.stop()
+
+    val got = spark.read.parquet(outDir).as[KeptFrame].collect()
+      .groupBy(_.doc_id).view.mapValues(_.sortBy(_.frame_idx).toVector).toMap
+    docs.foreach { case (docId, frames) =>
+      val expected = PhashDedup.dedupe(frames.map(f => (f.frame_idx, f.phash)))
+      val gotDoc = got.getOrElse(docId, Vector.empty)
+      assert(gotDoc.map(k => (k.frame_idx, k.page_num, k.phash)) == expected, s"$docId")
+    }
+    // the restart really did split the work (phase 1 emitted some but not
+    // all kept frames), so the parity above crossed a recovery boundary
+    val total = got.valuesIterator.map(_.size).sum
+    assert(afterPhase1 > 0 && afterPhase1 < total)
   }
 
   test("watermarked windowed agg: finalized windows == batch oracle, late events dropped") {
