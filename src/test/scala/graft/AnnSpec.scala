@@ -95,6 +95,24 @@ class AnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fromDisk == direct)
   }
 
+  test("ivfQuery over the persisted cell-partitioned corpus PRUNES cells (DPP in the plan)") {
+    // the pruning claim behind the persisted-assignment lifecycle
+    // (Similarity.scala scaladoc): the probe join is on the PARTITION
+    // column, the probe side is broadcast, so dynamic partition pruning
+    // restricts the scan to probed cells — assert it is in the executed
+    // plan, not just asserted in prose
+    val queries = emb.where(col("vec_id") < 10)
+    val model = Similarity.IvfModel.fit(emb)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_dpp").toString + "/assigned"
+    Similarity.ivfAssign(emb, model).write.partitionBy("cell").parquet(dir)
+    val reread = spark.read.parquet(dir)
+    val q = Similarity.ivfQuery(reread, model, queries, k = 5)
+    q.collect() // materialize so AQE finalizes the physical plan
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected dynamic partition pruning on cell in:\n$plan")
+  }
+
   test("IVF quantizer trained on a forced 20% sample keeps recall@5 >= 0.4") {
     // the 100-TB path: KMeans sees ~maxTrain vectors, never the corpus
     val queries = emb.where(col("vec_id") < 10)
