@@ -15,10 +15,16 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val digests = scala.collection.mutable.TreeMap[String, (Long, String)]()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // canonical digest of the DURABLE bytes (what the driver reads):
+        // for the rows-only x_* gates this is the value-drift evidence
+        // the rows check can't see; pinned per-tier in XDigestSpec
+        digests(name) = Digest.corpusSha(spark.read.parquet(s"$outDir/$name"))
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -37,6 +43,9 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/digests.json"), digests
+      .map { case (k, (n, sha)) => s"""${q(k)}: {"rows":$n,"sha256":${q(sha)}}""" }
+      .mkString("{", ",", "}"))
     spark.stop()
   }
 }
