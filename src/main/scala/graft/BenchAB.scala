@@ -64,6 +64,39 @@ object BenchAB {
             .withColumn("doc_id", org.apache.spark.sql.functions.col("doc_id").cast("string")),
           maxDist = 16, maxBucket = Int.MaxValue),
         identical = false),
+      // r05 skew fix: legacy collect-first capped shape (full member list
+      // materialized, THEN size-filtered — unbounded buffer on a hot
+      // bucket) vs the shipped count-first shape (sizes counted, hot
+      // buckets dropped before any list exists, ReuseExchange shuffles
+      // the blocks once)
+      "capped_countfirst_vs_collectfirst" -> Pair(
+        (s: SparkSession, dir: String) => {
+          import org.apache.spark.sql.functions._
+          val docs = s.read.parquet(s"$dir/documents.parquet")
+            .withColumn("doc_id", col("doc_id").cast("string"))
+          val blocks = graft.ops.Dedup.simhashBlocks(docs)
+          val buckets = blocks
+            .groupBy(col("blk"), col("key"))
+            .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("members"))
+            .where(size(col("members")) >= 2 && size(col("members")) <= 1000)
+          buckets
+            .select(col("members"), posexplode(col("members")))
+            .withColumnRenamed("pos", "i").withColumnRenamed("col", "a")
+            .select(col("a"),
+              explode(slice(col("members"), col("i") + lit(2), size(col("members")))).as("b"))
+            .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+              col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
+            .where(col("doc_a") < col("doc_b"))
+            .distinct()
+            .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+            .where(col("hamming") <= 16)
+            .select("doc_a", "doc_b", "hamming")
+        },
+        (s: SparkSession, dir: String) => graft.ops.Dedup.simhashPairs(
+          s.read.parquet(s"$dir/documents.parquet")
+            .withColumn("doc_id", org.apache.spark.sql.functions.col("doc_id").cast("string")),
+          maxDist = 16),
+        identical = false),
       // r04-verdict #6: legacy rare-trigram shape (ALL doc-trigram
       // occurrences joined against the FULL model, n_tri from the join)
       // vs the shipped shape (join-free n_tri + model pre-filtered to its

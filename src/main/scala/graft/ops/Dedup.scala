@@ -15,18 +15,50 @@ object Dedup {
 
   /** The shared suppression-metric contract for capped pair generators
     * ([[lshCandidatePairs]], [[simhashPairs]],
-    * [[graft.ops.Similarity.embeddingNearDups]]): `suppressed_buckets` /
-    * `suppressed_rows` ride the bucket aggregation via observe();
+    * [[graft.ops.Similarity.embeddingNearDups]],
+    * [[graft.streaming.NearDupStream.corpusIndex]]): `suppressed_buckets`
+    * / `suppressed_rows` ride the bucket-COUNT aggregation via observe();
     * coalesce because sum over ZERO rows is SQL NULL and the contract is
     * "zeros mean nothing suppressed". */
-  private[ops] def observeSuppressed(buckets: DataFrame, membersCol: String,
+  private[graft] def observeSuppressedCounts(counts: DataFrame, countCol: String,
       maxBucket: Int, o: org.apache.spark.sql.Observation): DataFrame =
-    buckets.observe(o,
-      coalesce(sum(when(size(col(membersCol)) > maxBucket, 1L).otherwise(0L)), lit(0L))
+    counts.observe(o,
+      coalesce(sum(when(col(countCol) > maxBucket, 1L).otherwise(0L)), lit(0L))
         .as("suppressed_buckets"),
-      coalesce(sum(when(size(col(membersCol)) > maxBucket,
-        size(col(membersCol)).cast("long")).otherwise(0L)), lit(0L))
-        .as("suppressed_rows"))
+      coalesce(sum(when(col(countCol) > maxBucket, col(countCol)).otherwise(0L)),
+        lit(0L)).as("suppressed_rows"))
+
+  /** COUNT-FIRST capped bucket materialization, the shape every capped
+    * pair generator shares: bucket sizes are counted with a plain
+    * partial aggregation (fixed-width buffers), oversized buckets are
+    * dropped BEFORE any member list exists, and only then are the
+    * surviving buckets' member lists collected — so the collect_list
+    * buffer is bounded by maxBucket no matter how degenerate the corpus
+    * is. The sizes branch and the members branch shuffle the same child
+    * plan on the same keys, so ReuseExchange computes and shuffles the
+    * input ONCE (read twice from shuffle files); the counts side joining
+    * back is bucket-count-sized and AQE broadcasts it.
+    *
+    * Why not the direct collect_list-then-filter shape: it materializes
+    * the ENTIRE hot bucket in one aggregation buffer before the size
+    * filter can drop it. A single group's buffer cannot spill — at 10^9
+    * copies of one text (the SkewBench hot band at corpus scale) that is
+    * an OOM, not a slowdown. Surfaced by the round-5 adversarial-skew
+    * rehearsal; A/B'd in BenchAB (capped_countfirst_vs_collectfirst). */
+  private[graft] def cappedBuckets(rows: DataFrame, keys: Seq[String],
+      member: Column, maxBucket: Int,
+      suppressed: Option[org.apache.spark.sql.Observation]): DataFrame = {
+    val keyCols = keys.map(col)
+    val counts = rows.groupBy(keyCols: _*).agg(count(lit(1)).as("bucket_n"))
+    val countsObs = suppressed.fold(counts)(
+      observeSuppressedCounts(counts, "bucket_n", maxBucket, _))
+    val keep = countsObs
+      .where(col("bucket_n") >= 2 && col("bucket_n") <= maxBucket)
+      .select(keyCols: _*)
+    rows.join(keep, keys)
+      .groupBy(keyCols: _*)
+      .agg(sort_array(collect_list(member)).as("members"))
+  }
 
   /** Uncapped modes drop nothing: resolve the caller's Observation with
     * zeros so it always delivers regardless of the maxBucket setting. */
@@ -132,21 +164,17 @@ object Dedup {
         .distinct()
       suppressed.fold(joined)(observeZeros(joined, _))
     } else {
-      // capped: ONE aggregation materializes each bucket's member list,
-      // pairs expand in-row (bounded by maxBucket^2) — no self-join, and
-      // each upstream signature row is computed exactly once.
-      val bucketsAll = signatures
-        .groupBy(col("band"), col("sig"))
-        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      val bucketsObs = suppressed.fold(bucketsAll)(
-        observeSuppressed(bucketsAll, "ids", maxBucket, _))
-      val buckets = bucketsObs
-        .where(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
+      // capped: count-first bucket materialization (see [[cappedBuckets]]
+      // — collect_list buffers bounded by maxBucket, hot buckets dropped
+      // before any list exists), pairs expand in-row (<= maxBucket^2) —
+      // no self-join; ReuseExchange shuffles the signatures once.
+      val buckets = cappedBuckets(signatures, Seq("band", "sig"),
+        col("doc_id"), maxBucket, suppressed)
       buckets
-        .select(col("ids"), posexplode(col("ids")))
+        .select(col("members"), posexplode(col("members")))
         .withColumnRenamed("pos", "i").withColumnRenamed("col", "doc_a")
         .select(col("doc_a"),
-          explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("doc_b"))
+          explode(slice(col("members"), col("i") + lit(2), size(col("members")))).as("doc_b"))
         // duplicate ids in the input would otherwise pair with themselves
         // (the uncapped join's strict < excludes them)
         .where(col("doc_a") < col("doc_b"))
@@ -282,18 +310,13 @@ object Dedup {
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
             col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
       } else {
-        // capped: one aggregation materializes each bucket's member list
-        // (bounded by maxBucket), pairs expand in-row — no self-join.
-        // sort_array orders struct members by doc_id (first field), so
-        // in-row (i, j>i) expansion preserves the doc_a < doc_b contract.
-        val bucketsAll = blocks
-          .groupBy(col("blk"), col("key"))
-          .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("members"))
-        // the suppression metric rides the same aggregation — no extra job
-        val bucketsObs = suppressed.fold(bucketsAll)(
-          observeSuppressed(bucketsAll, "members", maxBucket, _))
-        val buckets = bucketsObs
-          .where(size(col("members")) >= 2 && size(col("members")) <= maxBucket)
+        // capped: count-first bucket materialization ([[cappedBuckets]] —
+        // buffers bounded by maxBucket, hot buckets never collected),
+        // pairs expand in-row — no self-join. sort_array orders struct
+        // members by doc_id (first field), so in-row (i, j>i) expansion
+        // preserves the doc_a < doc_b contract.
+        val buckets = cappedBuckets(blocks, Seq("blk", "key"),
+          struct(col("doc_id"), col("simhash")), maxBucket, suppressed)
         buckets
           .select(col("members"), posexplode(col("members")))
           .withColumnRenamed("pos", "i").withColumnRenamed("col", "a")

@@ -125,19 +125,16 @@ object Similarity {
     val sigs = vectors.select(col(idCol).as("id"), posexplode(array(
       (0 until bands).map(b => GraftColumns.srpBand(col(vecCol), b * nPlanes, nPlanes, seed)): _*
     )).as(Seq("band", "sig")))
-    // capped bucket expansion (ids only — vectors join back for scoring)
-    val bucketsAll = sigs
-      .groupBy(col("band"), col("sig"))
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
-    // shared contract: Dedup.observeSuppressed (zeros-not-NULL, one job)
-    val bucketsObs = suppressed.fold(bucketsAll)(
-      Dedup.observeSuppressed(bucketsAll, "ids", maxBucket, _))
-    val buckets = bucketsObs
-      .where(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
+    // capped bucket expansion (ids only — vectors join back for scoring);
+    // count-first shared shape: Dedup.cappedBuckets (buffers bounded by
+    // maxBucket, suppression metrics ride the count aggregation)
+    val buckets = Dedup.cappedBuckets(sigs, Seq("band", "sig"),
+      col("id"), maxBucket, suppressed)
     val candidates = buckets
-      .select(col("ids"), posexplode(col("ids")))
+      .select(col("members"), posexplode(col("members")))
       .withColumnRenamed("pos", "i").withColumnRenamed("col", "id_a")
-      .select(col("id_a"), explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("id_b"))
+      .select(col("id_a"),
+        explode(slice(col("members"), col("i") + lit(2), size(col("members")))).as("id_b"))
       // duplicate ids would otherwise self-pair at cosine 1.0
       .where(col("id_a") < col("id_b"))
       .distinct() // dedup across bands before any pairwise scoring

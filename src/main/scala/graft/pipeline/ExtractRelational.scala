@@ -196,7 +196,16 @@ object ExtractRelational {
       if (persistParsed) {
         val p = parsed0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
         synchronized {
-          lastPersisted.foreach(_.unpersist(blocking = false))
+          // the previous cache may belong to a STOPPED SparkContext (a
+          // new session after restart): it died with its executors —
+          // attempting RPC to release it would NPE, and there is nothing
+          // left to release
+          lastPersisted.foreach { prev =>
+            try {
+              if (!prev.sparkSession.sparkContext.isStopped)
+                prev.unpersist(blocking = false)
+            } catch { case scala.util.control.NonFatal(_) => () }
+          }
           lastPersisted = Some(p)
         }
         p

@@ -52,11 +52,8 @@ object NearDupStream {
         col("doc_id").as("corpus_id"), col("simhash").as("corpus_sim"))
     val counts = blocks.groupBy(col("blk"), col("key"))
       .agg(count(lit(1)).as("bucket_n"))
-    val countsObs = suppressed.fold(counts)(o => counts.observe(o,
-      coalesce(sum(when(col("bucket_n") > maxBucket, 1L).otherwise(0L)), lit(0L))
-        .as("suppressed_buckets"),
-      coalesce(sum(when(col("bucket_n") > maxBucket, col("bucket_n")).otherwise(0L)),
-        lit(0L)).as("suppressed_rows")))
+    val countsObs = suppressed.fold(counts)(
+      graft.ops.Dedup.observeSuppressedCounts(counts, "bucket_n", maxBucket, _))
     blocks.join(countsObs.where(col("bucket_n") <= maxBucket), Seq("blk", "key"))
       .drop("bucket_n")
       .withColumn("nblocks", lit(nBlocks))
