@@ -2,10 +2,23 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json + digests.json, for the driver's DuckDB compare.
+  *
+  * Optional 3rd+ args select a query subset by exact name (used for the
+  * big-tier sampled gates, e.g. sf10, where a handful of oracles are
+  * super-linear on the DuckDB side); no extra args = all queries, the
+  * driver's invocation shape. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    val selected: Set[String] = args.drop(2).toSet
+    val queries =
+      if (selected.isEmpty) SparkEntry.queries
+      else {
+        val unknown = selected -- SparkEntry.queries.keySet
+        require(unknown.isEmpty, s"unknown queries: ${unknown.toSeq.sorted.mkString(",")}")
+        SparkEntry.queries.view.filterKeys(selected).toMap
+      }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -16,7 +29,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     val digests = scala.collection.mutable.TreeMap[String, (Long, String)]()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    queries.foreach { case (name, fn) =>
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
@@ -41,6 +54,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => queries.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     Files.writeString(Paths.get(s"$outDir/digests.json"), digests
