@@ -28,34 +28,48 @@ object Dedup {
       coalesce(sum(when(col(countCol) > maxBucket, col(countCol)).otherwise(0L)),
         lit(0L)).as("suppressed_rows"))
 
-  /** COUNT-FIRST capped bucket materialization, the shape every capped
-    * pair generator shares: bucket sizes are counted with a plain
-    * partial aggregation (fixed-width buffers), oversized buckets are
-    * dropped BEFORE any member list exists, and only then are the
-    * surviving buckets' member lists collected — so the collect_list
-    * buffer is bounded by maxBucket no matter how degenerate the corpus
-    * is. The sizes branch and the members branch shuffle the same child
-    * plan on the same keys, so ReuseExchange computes and shuffles the
-    * input ONCE (read twice from shuffle files); the counts side joining
-    * back is bucket-count-sized and AQE broadcasts it.
+  /** SIZE-BEFORE-COLLECT capped bucket materialization, the shape every
+    * capped pair generator shares: one shuffle on the bucket keys, a
+    * windowed `count(*) over (partition by keys)` annotates every row
+    * with its bucket size, oversized buckets are dropped BEFORE any
+    * member list exists, and only then are the surviving buckets' member
+    * lists collected — the collect_list buffer is bounded by maxBucket no
+    * matter how degenerate the corpus is, and the final aggregation
+    * reuses the window's partitioning (no second exchange).
     *
     * Why not the direct collect_list-then-filter shape: it materializes
     * the ENTIRE hot bucket in one aggregation buffer before the size
     * filter can drop it. A single group's buffer cannot spill — at 10^9
     * copies of one text (the SkewBench hot band at corpus scale) that is
-    * an OOM, not a slowdown. Surfaced by the round-5 adversarial-skew
-    * rehearsal; A/B'd in BenchAB (capped_countfirst_vs_collectfirst). */
+    * an OOM, not a slowdown. The window's per-group buffer, by contrast,
+    * is an ExternalAppendOnlyUnsafeRowArray: a hot bucket SPILLS TO DISK
+    * instead of dying. Why a window and not a count-aggregate + semi-join
+    * back: column pruning makes the two branches' exchanges non-identical
+    * so ReuseExchange cannot fire, and the whole upstream derivation
+    * (e.g. the minhash signature pass) executes TWICE — plan-verified,
+    * and measured 65% slower than the window shape on q_lsh_pairs.
+    * Surfaced by the round-5 adversarial-skew rehearsal; A/B'd in BenchAB
+    * (capped_countfirst_vs_collectfirst).
+    *
+    * Suppression metrics ride the windowed rows per-row: each over-cap
+    * row adds 1 to `suppressed_rows` and 1/bucket_n to
+    * `suppressed_buckets` (sums to exactly 1 per suppressed bucket;
+    * double rounding error is ~n*eps — orders of magnitude below the
+    * round() threshold at any physical bucket size). */
   private[graft] def cappedBuckets(rows: DataFrame, keys: Seq[String],
       member: Column, maxBucket: Int,
       suppressed: Option[org.apache.spark.sql.Observation]): DataFrame = {
     val keyCols = keys.map(col)
-    val counts = rows.groupBy(keyCols: _*).agg(count(lit(1)).as("bucket_n"))
-    val countsObs = suppressed.fold(counts)(
-      observeSuppressedCounts(counts, "bucket_n", maxBucket, _))
-    val keep = countsObs
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keyCols: _*)
+    val counted = rows.withColumn("bucket_n", count(lit(1)).over(w))
+    val countedObs = suppressed.fold(counted)(o => counted.observe(o,
+      coalesce(round(sum(when(col("bucket_n") > maxBucket,
+        lit(1.0) / col("bucket_n")).otherwise(0.0))), lit(0.0))
+        .cast("long").as("suppressed_buckets"),
+      coalesce(sum(when(col("bucket_n") > maxBucket, 1L).otherwise(0L)), lit(0L))
+        .as("suppressed_rows")))
+    countedObs
       .where(col("bucket_n") >= 2 && col("bucket_n") <= maxBucket)
-      .select(keyCols: _*)
-    rows.join(keep, keys)
       .groupBy(keyCols: _*)
       .agg(sort_array(collect_list(member)).as("members"))
   }
