@@ -121,7 +121,9 @@ object SkewBench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "16g"))
+      // driver heap comes from the LAUNCHING JVM: build.sbt wires
+      // SPARK_DRIVER_MEM into the forked -Xmx (setting
+      // spark.driver.memory after JVM start is a no-op in local mode)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -33,10 +33,14 @@ object Verify {
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
-        // canonical digest of the DURABLE bytes (what the driver reads):
-        // for the rows-only x_* gates this is the value-drift evidence
-        // the rows check can't see; pinned per-tier in XDigestSpec
-        digests(name) = Digest.corpusSha(spark.read.parquet(s"$outDir/$name"))
+        // canonical digest of the DURABLE bytes (what the driver reads)
+        // for the rows-only x_* gates: the value-drift evidence the rows
+        // check can't see, pinned in XDigestSpec. q_* queries are
+        // value-hashed by the DuckDB oracle already, and digesting them
+        // would collect multi-million-row results at the big tiers for
+        // nothing — x_ outputs are gate-sized by construction.
+        if (name.startsWith("x_"))
+          digests(name) = Digest.corpusSha(spark.read.parquet(s"$outDir/$name"))
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -120,9 +120,15 @@ object TextAnalytics {
     val model = tris.groupBy(col("tri")).agg(count(lit(1)).as("cnt"))
     val rareCounts = tris.join(rareOnly(model).select("tri"), "tri")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_rare"))
-    docs.select(col(idCol).as("doc_id"),
+    // per-doc base mirrors the exploded multiset exactly: null text
+    // contributes no trigrams (explode of a null array emits nothing),
+    // and duplicate ids aggregate into ONE row — n_tri must cover the
+    // same rows n_rare was counted over, or the ratio exceeds 1
+    docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
         when(length(col(textCol)) < 3, lit(1L))
-          .otherwise((length(col(textCol)) - 2).cast("long")).as("n_tri"))
+          .otherwise((length(col(textCol)) - 2).cast("long")).as("n_tri_row"))
+      .groupBy(col("doc_id")).agg(sum(col("n_tri_row")).as("n_tri"))
       .join(rareCounts, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tri"),
         coalesce(col("n_rare"), lit(0L)).as("n_rare"),

@@ -50,11 +50,19 @@ object NearDupStream {
     val blocks = graft.ops.Dedup.simhashBlocks(corpus, nBlocks, idCol, textCol)
       .select(col("blk"), col("key"),
         col("doc_id").as("corpus_id"), col("simhash").as("corpus_sim"))
-    val counts = blocks.groupBy(col("blk"), col("key"))
-      .agg(count(lit(1)).as("bucket_n"))
-    val countsObs = suppressed.fold(counts)(
-      graft.ops.Dedup.observeSuppressedCounts(counts, "bucket_n", maxBucket, _))
-    blocks.join(countsObs.where(col("bucket_n") <= maxBucket), Seq("blk", "key"))
+    // size-before-keep via a window on ONE shuffle (same rationale as
+    // [[graft.ops.Dedup.cappedBuckets]]: the count-agg + join-back shape
+    // can't ReuseExchange, so the full-corpus block derivation would run
+    // twice per index build); suppression metrics ride the windowed rows
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("blk"), col("key"))
+    val counted = blocks.withColumn("bucket_n", count(lit(1)).over(w))
+    val countedObs = suppressed.fold(counted)(o => counted.observe(o,
+      coalesce(round(sum(when(col("bucket_n") > maxBucket,
+        lit(1.0) / col("bucket_n")).otherwise(0.0))), lit(0.0))
+        .cast("long").as("suppressed_buckets"),
+      coalesce(sum(when(col("bucket_n") > maxBucket, 1L).otherwise(0L)), lit(0L))
+        .as("suppressed_rows")))
+    countedObs.where(col("bucket_n") <= maxBucket)
       .drop("bucket_n")
       .withColumn("nblocks", lit(nBlocks))
   }
@@ -80,23 +88,41 @@ object NearDupStream {
     * regardless of index size. */
   def writeIndex(index: DataFrame, path: String): Unit = {
     val spark = index.sparkSession
-    val obs = new org.apache.spark.sql.Observation("index_layout")
+    // write to a sibling temp dir first: validation failure (or a crash
+    // mid-write) must leave any EXISTING index at `path` untouched — an
+    // Overwrite of the live path would destroy the good index BEFORE the
+    // layout check could reject the bad one
+    val target = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".__writing__")
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val obs = new org.apache.spark.sql.Observation()
     index.observe(obs, min(col("nblocks")).as("mn"), max(col("nblocks")).as("mx"))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
-    // empty map = AQE dropped the metrics node on a fully-empty result
-    // (the documented AQEPropagateEmptyRelation caveat) — same meaning as
-    // null min/max: nothing written, nothing to validate
-    val m = obs.get
-    val (mn, mx) = (m.get("mn").flatMap(Option(_)).map(_.asInstanceOf[Int]),
-      m.get("mx").flatMap(Option(_)).map(_.asInstanceOf[Int]))
-    require(mn == mx, s"index mixes block layouts: ${mn.get}..${mx.get} — " +
-      "rebuild with one corpusIndex nBlocks")
-    // empty corpus -> empty index: any layout joins to zero candidates;
-    // record the default so loadIndex stays total
-    val nBlocks = mn.getOrElse(4)
-    import spark.implicits._
-    Seq(nBlocks).toDF("nblocks").repartition(1)
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$path/_index_meta")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp.toString)
+    try {
+      // empty map = AQE dropped the metrics node on a fully-empty result
+      // (the documented AQEPropagateEmptyRelation caveat) — same meaning
+      // as null min/max: nothing written, nothing to validate
+      val m = obs.get
+      val (mn, mx) = (m.get("mn").flatMap(Option(_)).map(_.asInstanceOf[Int]),
+        m.get("mx").flatMap(Option(_)).map(_.asInstanceOf[Int]))
+      require(mn == mx, s"index mixes block layouts: ${mn.get}..${mx.get} — " +
+        "rebuild with one corpusIndex nBlocks")
+      // empty corpus -> empty index: any layout joins to zero candidates;
+      // record the default so loadIndex stays total
+      val nBlocks = mn.getOrElse(4)
+      import spark.implicits._
+      Seq(nBlocks).toDF("nblocks").repartition(1)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(new org.apache.hadoop.fs.Path(tmp, "_index_meta").toString)
+    } catch {
+      case e: Throwable => fs.delete(tmp, true); throw e
+    }
+    // swap: the validated index (sidecar included) replaces the old one.
+    // The delete->rename window is the non-transactional-FS residual; a
+    // crash inside it leaves the complete new index at `path.__writing__`
+    // for manual recovery, never a half-written live path.
+    if (fs.exists(target)) fs.delete(target, true)
+    require(fs.rename(tmp, target), s"rename $tmp -> $target failed")
   }
 
   /** Load a [[writeIndex]]-persisted index: the layout comes from the

@@ -363,4 +363,22 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     if (videos > 0) assert(frames.count() >= videos)
     meta.unpersist()
   }
+
+  test("rareTrigramScores: duplicate ids aggregate, null text drops, ratio <= 1") {
+    val ss = spark; import ss.implicits._
+    // duplicate doc_id with disjoint all-rare trigrams: ONE row whose
+    // n_tri covers BOTH texts (a per-row n_tri would make ratio 2.0);
+    // null text contributes no trigrams and no row (explode-of-null
+    // semantics, matching the DuckDB oracle's unnest)
+    val docs = Seq(("d", "abcde"), ("d", "fghij"), ("n", null: String),
+      ("u", "abcab")).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalytics.rareTrigramScores(docs, rareThreshold = 1)
+      .orderBy("doc_id")
+      .as[(String, Long, Long, Double)].collect().toVector
+    // d: 3+3=6 trigram occurrences; "abc" occurs in BOTH d and u so its
+    // corpus cnt=2 > threshold -> not rare; the other 5 are. u: bca/cab
+    // rare, abc not. n: absent entirely.
+    assert(got == Vector(("d", 6L, 5L, 0.8333), ("u", 3L, 2L, 0.6667)))
+    assert(got.forall { case (_, nTri, nRare, ratio) => nRare <= nTri && ratio <= 1.0 })
+  }
 }

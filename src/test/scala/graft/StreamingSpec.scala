@@ -96,10 +96,17 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // AT WRITE TIME (layout validation rides the write job)
     val mixed = graft.streaming.NearDupStream.corpusIndex(corpus, nBlocks = 4)
       .unionByName(graft.streaming.NearDupStream.corpusIndex(corpus, nBlocks = 8))
+    // ... and a rejected write must leave an EXISTING index untouched
+    // (validate-then-swap: the bad data lands in a temp dir, never over
+    // the live path)
     val e = intercept[IllegalArgumentException] {
-      graft.streaming.NearDupStream.writeIndex(mixed, s"$dir/bad")
+      graft.streaming.NearDupStream.writeIndex(mixed, s"$dir/idx")
     }
     assert(e.getMessage.contains("block layouts"))
+    val survivor = graft.streaming.NearDupStream.loadIndex(spark, s"$dir/idx")
+    assert(survivor.nBlocks == 8 &&
+      survivor.candidates(incoming, maxDist = 16)
+        .as[(String, String, Int)].collect().toSet == viaSidecar)
     // empty corpus: write succeeds, loads with the documented default
     graft.streaming.NearDupStream.writeIndex(
       graft.streaming.NearDupStream.corpusIndex(corpus.limit(0)), s"$dir/empty")

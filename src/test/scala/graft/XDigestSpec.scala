@@ -36,25 +36,25 @@ class XDigestSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val SfDir = "/root/testdata/sf0.01"
 
   private val Golden: Map[String, (Long, String)] = Map(
-    "x_ann_ivf" -> ((50L, "4dc7dcee5bfd8dd49574ff401f7fb47027260c30c5651fd88b71ffdb6de65666")),
-    "x_ann_lsh" -> ((50L, "c33dbe58a4f42ebbcb6b7d9a82d42182febd2cf64fc298d7b26c1c891d3c5c26")),
-    "x_book_md" -> ((200L, "3811dd6e70a8240b3c4f572be202c65d310138f667423c880b22cbeb48b10818")),
-    "x_book_xml" -> ((200L, "54c1d9780e37bded1501f519fdd7599c3901e663ecec636709f547fd2e90b801")),
-    "x_embed_neardup" -> ((442L, "dc173416e39f4c1a0c6b7b4b4e64dafcfd436baa2000f2af6a9b00e0fff255d6")),
-    "x_ensemble_vote" -> ((500L, "a04972f38184e77c34a2510b708b802b7439c4d1afa4e8e0049c9cd98da571b5")),
-    "x_extract_docs" -> ((200L, "f2b7a1ec5a104b0e57363fbfed9fe163fdb611100169176be086d996ead2b855")),
-    "x_extract_relational" -> ((31431L, "d96877dfe8ad80ff83053543b92e8e2ac7d3424f4150d36fbd7e67c764f45921")),
-    "x_extract_spans" -> ((31431L, "d96877dfe8ad80ff83053543b92e8e2ac7d3424f4150d36fbd7e67c764f45921")),
-    "x_grouped_spans" -> ((749L, "3b4beab1dc38b98320035712492534120030b1fdb8fcc0c6f5558e595950722c")),
-    "x_grouped_xml" -> ((200L, "65b52dc6851d0a6468977cbac8eb591a7b46ad33804df34d951e89063a87dc3b")),
-    "x_media_meta" -> ((1315L, "ca85872f2352bab468f8d020713d04beb286776ea3e9d53497dafe5075542548")),
-    "x_norm_rules" -> ((118L, "cd908fe8049d35296225cfe57f668aeb9caea29d6d3c28c747ef4080ca41bfc8")),
-    "x_phash_dedup" -> ((500L, "540f06dae6f5d0e2bc4bd081b8329e832da7ab2fa54b817457b463b7d1de470d")),
-    "x_reading_order" -> ((500L, "40f19a6a27148c752cb1c2bc7e9e9c533adfda0d111fa39d22d534c14a74fa91")),
-    "x_rover_vote" -> ((500L, "b9686f9dba8a7a614e64655b964686e30399c63eebecd004371405772e0a9653")),
-    "x_simhash_pairs" -> ((2483L, "7e21aa2cd6e1b2b3bace2e8e98a735eeecc6e55b2483ef44457dfa1f03900fe7")),
-    "x_stream_neardup" -> ((849L, "2a6f170b79d549498ae21fd8f54fb91e2944e819b1003d607086b2b484c1dbf4")),
-    "x_toc_match" -> ((554L, "3675f68a8ee0f3351e97443f5814dfcb8e032782504f27a812127d8dabac9b44"))
+    "x_ann_ivf" -> ((50L, "1803ca9e1afa056dab4daa3b19270e0ddc52ce8b1b1aae9307e2f31cf795614a")),
+    "x_ann_lsh" -> ((50L, "2be30ef77801c72b8cf872e87423067bb9a48fcb2bac29ac532d3ba5dec5edda")),
+    "x_book_md" -> ((200L, "14d6232084ff9f9a32b028f242b31d90565183cbdf15632f2484db51adb0f569")),
+    "x_book_xml" -> ((200L, "5bd1ada453cd25dbb7ad957f387f03ab3348536b6291aaea27cc382b8c4cfa44")),
+    "x_embed_neardup" -> ((442L, "229e06ffd40c5636de103bdb55a57c1467aed8c64308366b415c2f0d5fd6bea7")),
+    "x_ensemble_vote" -> ((500L, "ec1366294834204db15dbba08ef6e36b864bbb1d12c9e4759dcf29f879c2fd97")),
+    "x_extract_docs" -> ((200L, "bc33c73393e6dce9b08065aef7fec67d9fd44d4afac64b6d5f34a865a6b74220")),
+    "x_extract_relational" -> ((31431L, "0665579e5b76dd703dffdb29f6490a04f47ebc709362b1583fc0d37f49c0754b")),
+    "x_extract_spans" -> ((31431L, "0665579e5b76dd703dffdb29f6490a04f47ebc709362b1583fc0d37f49c0754b")),
+    "x_grouped_spans" -> ((749L, "b998ef59244a78d0478dccc43d8651e3cdc9262ea7d8550060cba1275aff7c7d")),
+    "x_grouped_xml" -> ((200L, "1ff7d9d82c105d86cc892604f47a8e586302f745a27af062720af60e96804814")),
+    "x_media_meta" -> ((1315L, "7bdd5583e23d0ecb9f488462f442769e41055621864e6fa37695b3312923edb6")),
+    "x_norm_rules" -> ((118L, "b72b68c94593c8e7d9010550e2ff840a53b486cc86a462848dd78fff1cda23df")),
+    "x_phash_dedup" -> ((500L, "66a704d8df045fccf455a2116faf0f6b5d23a3deb1b3c314794b2c6337e02ce7")),
+    "x_reading_order" -> ((500L, "b16b625415801ca445abc65c709db42816bb00fbafda2d241a01ded4283b3748")),
+    "x_rover_vote" -> ((500L, "dbbac2b06714f195545bb3e6b33459639cbfb821b0ab56990104b412698be3fe")),
+    "x_simhash_pairs" -> ((2483L, "bdc1d10aede0573496d8828fd51e2f1fbf6a48ee700fba65a9d1c740b9de8baa")),
+    "x_stream_neardup" -> ((849L, "56be73fc76cfaddcb9037930ef2f06ccc3ade58808b2e1930e7291337c7f7434")),
+    "x_toc_match" -> ((554L, "9c41531317d34c7c3b83120471900f47eeb9b98285f50a9861bb0facefb6d78e"))
   )
 
   test("every x_ query has a pinned digest (a new gate must pin one)") {
