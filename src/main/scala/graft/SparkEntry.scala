@@ -41,15 +41,15 @@ object SparkEntry {
       Dedup.simhashPairs(t(s, dir, "documents").withColumn("doc_id", col("doc_id").cast("string")), maxDist = 16)),
     // the streaming-ingest dedup path run in batch mode (same code path
     // Structured Streaming executes per micro-batch; stream==batch is
-    // pinned in StreamingSpec): newest docs vs the historical-corpus index
+    // pinned in StreamingSpec): newest docs vs the historical-corpus
+    // index — through the PRODUCTION artifact lifecycle (writeIndex once
+    // per corpus per JVM, loadIndex reads the layout from the O(1)
+    // _index_meta sidecar, candidates never scans the index for it)
     "x_stream_neardup" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val corpus = docs.where(col("doc_id") < 400)
-        .withColumn("doc_id", col("doc_id").cast("string"))
       val incoming = docs.where(col("doc_id") >= 400)
         .withColumn("doc_id", col("doc_id").cast("string"))
-      graft.streaming.NearDupStream.candidates(incoming,
-        graft.streaming.NearDupStream.corpusIndex(corpus), maxDist = 16)
+      streamIndex(s, dir).candidates(incoming, maxDist = 16)
         .distinct().orderBy(col("doc_id"), col("corpus_id"))
     }),
     "x_media_meta" -> ((s, dir) => {
@@ -638,6 +638,25 @@ object SparkEntry {
     * session would use (IvfModel.load + spark.read.parquet). */
   private val ivfArtifacts =
     new java.util.concurrent.ConcurrentHashMap[String, (Similarity.IvfModel, String)]()
+
+  /** Per-JVM near-dup corpus-index artifact keyed by corpus dir: built
+    * and persisted once via the production writeIndex path (layout
+    * sidecar included), reloaded through loadIndex thereafter. */
+  private val streamIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def streamIndex(s: SparkSession, dir: String)
+      : graft.streaming.NearDupStream.CorpusIndex = {
+    val path = streamIndexes.computeIfAbsent(dir, _ => {
+      val corpus = t(s, dir, "documents").where(col("doc_id") < 400)
+        .withColumn("doc_id", col("doc_id").cast("string"))
+      val p = java.nio.file.Files.createTempDirectory("graft_nd_index").toString + "/idx"
+      graft.streaming.NearDupStream.writeIndex(
+        graft.streaming.NearDupStream.corpusIndex(corpus), p)
+      p
+    })
+    graft.streaming.NearDupStream.loadIndex(s, path)
+  }
 
   private def ivfArtifact(s: SparkSession, dir: String): (Similarity.IvfModel, DataFrame) = {
     val (model, assignedPath) = ivfArtifacts.computeIfAbsent(dir, _ => {
