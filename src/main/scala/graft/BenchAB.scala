@@ -97,6 +97,33 @@ object BenchAB {
             .withColumn("doc_id", org.apache.spark.sql.functions.col("doc_id").cast("string")),
           maxDist = 16),
         identical = false),
+      // r5: five-regex language-ID vs the single-pass codegen expression
+      "langid_regex_vs_codegen" -> Pair(
+        (s: SparkSession, dir: String) => {
+          import org.apache.spark.sql.functions._
+          val t = col("text")
+          val len = greatest(length(t), lit(1))
+          def cls(re: String) = length(regexp_replace(t, re, ""))
+          s.read.parquet(s"$dir/documents.parquet")
+            .select(col("lang"),
+              when(cls("[^\\u3040-\\u30ff]").cast("double") / len > 0.1, "ja")
+                .when(cls("[^\\uac00-\\ud7af]").cast("double") / len > 0.1, "ko")
+                .when(cls("[^\\u4e00-\\u9fff]").cast("double") / len > 0.3, "zh")
+                .when(cls("[^\\u0400-\\u04ff]").cast("double") / len > 0.3, "ru")
+                .when(cls("[^a-zA-Z]").cast("double") / len > 0.3, "en")
+                .otherwise("unknown").as("pred_lang"))
+            .groupBy(col("lang"), col("pred_lang"))
+            .agg(org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)).as("n"))
+        },
+        (s: SparkSession, dir: String) => {
+          import org.apache.spark.sql.functions._
+          s.read.parquet(s"$dir/documents.parquet")
+            .select(col("lang"),
+              graft.ops.TextAnalytics.langIdExpr(col("text")).as("pred_lang"))
+            .groupBy(col("lang"), col("pred_lang")).agg(count(lit(1)).as("n"))
+        },
+        identical = false),
       // r04-verdict #6: legacy rare-trigram shape (ALL doc-trigram
       // occurrences joined against the FULL model, n_tri from the join)
       // vs the shipped shape (join-free n_tri + model pre-filtered to its

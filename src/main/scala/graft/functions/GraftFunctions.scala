@@ -104,6 +104,60 @@ object VectorKernels {
   }
 }
 
+object LangIdImpl {
+  /** Single-pass language-ID over code points — exactly the semantics of
+    * the five-`regexp_replace` Column formulation it replaces
+    * ([[graft.ops.TextAnalytics.langIdExpr]], DuckDB-oracle-gated):
+    * `length()` and Java regex character classes both operate on CODE
+    * POINTS, so the scan advances by Character.charCount and the class
+    * ranges (all BMP) are compared against the full code point. Ratio
+    * arithmetic mirrors the Column form: each count cast to double over
+    * max(len, 1). One pass instead of five regex NFA walks per doc —
+    * this runs over EVERY document of a corpus, so the constant matters
+    * (BenchAB langid_regex_vs_codegen). */
+  private[this] val ja = UTF8String.fromString("ja")
+  private[this] val ko = UTF8String.fromString("ko")
+  private[this] val zh = UTF8String.fromString("zh")
+  private[this] val ru = UTF8String.fromString("ru")
+  private[this] val en = UTF8String.fromString("en")
+  private[this] val unknown = UTF8String.fromString("unknown")
+
+  def langId(s: UTF8String): UTF8String = {
+    val str = s.toString
+    var kana = 0L; var hangul = 0L; var cjk = 0L; var cyr = 0L; var latin = 0L
+    var total = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      if (cp >= 0x3040 && cp <= 0x30ff) kana += 1
+      else if (cp >= 0xac00 && cp <= 0xd7af) hangul += 1
+      else if (cp >= 0x4e00 && cp <= 0x9fff) cjk += 1
+      else if (cp >= 0x0400 && cp <= 0x04ff) cyr += 1
+      else if ((cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z')) latin += 1
+      total += 1
+      i += Character.charCount(cp)
+    }
+    val len = math.max(total, 1L).toDouble
+    if (kana.toDouble / len > 0.1) ja
+    else if (hangul.toDouble / len > 0.1) ko
+    else if (cjk.toDouble / len > 0.3) zh
+    else if (cyr.toDouble / len > 0.3) ru
+    else if (latin.toDouble / len > 0.3) en
+    else unknown
+  }
+}
+
+case class LangIdExpr(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = StringType
+  override def nullSafeEval(a: Any): Any =
+    LangIdImpl.langId(a.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.LangIdImpl.langId($a)")
+  override protected def withNewChildInternal(newChild: Expression) = copy(child = newChild)
+  override def prettyName: String = "lang_id"
+}
+
 case class CosineSimExpr(left: Expression, right: Expression) extends BinaryExpression {
   override def nullIntolerant: Boolean = true
   override def dataType: DataType = DoubleType
@@ -165,6 +219,8 @@ object GraftColumns {
       planeOffset, nPlanes, seed))
   def simhash64(text: Column): Column =
     GraftExprAccess.column(Simhash64Expr(GraftExprAccess.expression(text)))
+  def langId(text: Column): Column =
+    GraftExprAccess.column(LangIdExpr(GraftExprAccess.expression(text)))
 }
 
 /** SparkSessionExtensions injector:
@@ -187,6 +243,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimExpr].getName, "cosine_sim"),
       (children: Seq[Expression]) => { arity("cosine_sim", children, 2)
         CosineSimExpr(children(0), children(1)) }))
+    ext.injectFunction((
+      new FunctionIdentifier("lang_id"),
+      new ExpressionInfo(classOf[LangIdExpr].getName, "lang_id"),
+      (children: Seq[Expression]) => { arity("lang_id", children, 1)
+        LangIdExpr(children.head) }))
   }
 }
 
@@ -210,5 +271,8 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction("cosine_sim",
       (children: Seq[Expression]) => { arity("cosine_sim", children, 2)
         CosineSimExpr(children(0), children(1)) }, "scala_udf")
+    registry.createOrReplaceTempFunction("lang_id",
+      (children: Seq[Expression]) => { arity("lang_id", children, 1)
+        LangIdExpr(children.head) }, "scala_udf")
   }
 }

@@ -48,22 +48,14 @@ object TextAnalytics {
     withQuality(df, textCol)
       .where(col("n_tokens") >= 10 && col("alpha_ratio") >= 0.5 && col("stopword_ratio") >= 0.01)
 
-  /** Language-ID heuristic over char classes + stopword hits (n-gram
-    * heuristic family): deterministic, codegen'd, no external model. */
-  def langIdExpr(t: Column): Column = {
-    val len = greatest(length(t), lit(1))
-    val kana = length(regexp_replace(t, "[^\\u3040-\\u30ff]", ""))
-    val cjk = length(regexp_replace(t, "[^\\u4e00-\\u9fff]", ""))
-    val hangul = length(regexp_replace(t, "[^\\uac00-\\ud7af]", ""))
-    val cyr = length(regexp_replace(t, "[^\\u0400-\\u04ff]", ""))
-    val latin = length(regexp_replace(t, "[^a-zA-Z]", ""))
-    when(kana.cast("double") / len > 0.1, "ja")
-      .when(hangul.cast("double") / len > 0.1, "ko")
-      .when(cjk.cast("double") / len > 0.3, "zh")
-      .when(cyr.cast("double") / len > 0.3, "ru")
-      .when(latin.cast("double") / len > 0.3, "en")
-      .otherwise("unknown")
-  }
+  /** Language-ID heuristic over char classes (n-gram heuristic family):
+    * deterministic, no external model. ONE code-point pass per doc via
+    * the native [[graft.functions.LangIdExpr]] codegen expression —
+    * semantically identical to the five-`regexp_replace` Column chain it
+    * replaces (DuckDB oracle q_langid pins the equivalence; BenchAB
+    * `langid_regex_vs_codegen` measures the win). This runs over every
+    * document of the corpus, so the per-doc constant is the cost. */
+  def langIdExpr(t: Column): Column = graft.functions.GraftColumns.langId(t)
 
   /** Document fingerprints: md5 (exact-dup key) + a 64-bit content hash.
     * xxhash64 is Spark-native; the md5 column is the cross-engine
