@@ -203,6 +203,99 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(afterPhase1 > 0 && afterPhase1 < total)
   }
 
+  test("restart from checkpoint: stream-static near-dup across a stop/restart == batch") {
+    // the stateless streaming op's recovery contract: offsets-only (no
+    // state store) — a restart must neither skip nor duplicate incoming
+    // files, and the stream-static join against the SAME persisted index
+    // must reproduce the batch result exactly
+    val ss = spark; import ss.implicits._
+    val base = java.nio.file.Files.createTempDirectory("nd_ckpt").toString
+    val (inDir, outDir, ckDir) = (s"$base/in", s"$base/out", s"$base/ck")
+    val corpus = Seq(
+      ("c0", "the quick brown fox jumps over the lazy dog again and again"),
+      ("c1", "completely different corpus text about spark execution plans"),
+      ("c2", "the quick brown fox jumps over the lazy dog again and again!"))
+      .toDF("doc_id", "text")
+    graft.streaming.NearDupStream.writeIndex(
+      graft.streaming.NearDupStream.corpusIndex(corpus), s"$base/idx")
+    val index = graft.streaming.NearDupStream.loadIndex(spark, s"$base/idx")
+    val incoming = Seq(
+      ("s0", "the quick brown fox jumps over the lazy dog again and again"),
+      ("s1", "completely different corpus text about spark execution plans"),
+      ("s2", "brand new document that matches nothing in the corpus at all"),
+      ("s3", "the quick brown fox jumps over the lazy dog again + again"))
+    def writeChunk(i: Int, rows: Seq[(String, String)]): Unit =
+      rows.toDF("doc_id", "text").repartition(1).write.parquet(s"$inDir/chunk=$i")
+    def startQuery() = index.candidates(
+        spark.readStream
+          .schema(org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("text",
+              org.apache.spark.sql.types.StringType))))
+          .option("maxFilesPerTrigger", 1).parquet(s"$inDir/chunk=*"),
+        maxDist = 16)
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckDir).start()
+    writeChunk(0, incoming.take(2))
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+    writeChunk(1, incoming.drop(2))
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+    val got = spark.read.parquet(outDir).distinct()
+      .as[(String, String, Int)].collect().toSet
+    val batch = index.candidates(incoming.toDF("doc_id", "text"), maxDist = 16)
+      .distinct().as[(String, String, Int)].collect().toSet
+    assert(got == batch && got.exists(_._1 == "s0") && !got.exists(_._1 == "s2"))
+  }
+
+  test("restart from checkpoint: watermarked windowed agg resumes watermark + window state") {
+    // stateful-with-watermark recovery: windows finalized BEFORE the
+    // stop must not re-emit, in-flight window state and the watermark
+    // must survive the restart, and the union of appends must equal the
+    // uninterrupted batch oracle over finalized windows
+    val ss = spark; import ss.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s"2026-01-01 $s")
+    val base = java.nio.file.Files.createTempDirectory("ev_ckpt").toString
+    val (inDir, outDir, ckDir) = (s"$base/in", s"$base/out", s"$base/ck")
+    def writeChunk(i: Int, rows: Seq[(java.sql.Timestamp, String, Double)]): Unit =
+      rows.toDF("ts", "event_type", "value").repartition(1)
+        .write.parquet(s"$inDir/chunk=$i")
+    def startQuery() = graft.streaming.EventStream.windowedCounts(
+        spark.readStream
+          .schema(org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("ts",
+              org.apache.spark.sql.types.TimestampType),
+            org.apache.spark.sql.types.StructField("event_type",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("value",
+              org.apache.spark.sql.types.DoubleType))))
+          .option("maxFilesPerTrigger", 1).parquet(s"$inDir/chunk=*"))
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckDir).start()
+    // phase 1: fill [10:00,10:10) and advance the watermark past it
+    writeChunk(0, Seq((t("10:00:10"), "view", 1.5), (t("10:03:00"), "view", 2.0),
+      (t("10:06:00"), "purchase", 10.0)))
+    writeChunk(1, Seq((t("10:35:00"), "view", 3.0)))
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+    val phase1 = spark.read.parquet(outDir).count()
+    assert(phase1 >= 1) // [10:00,10:10) finalized before the stop
+    // phase 2 (new query, same checkpoint): a LATE event for the
+    // already-finalized window must STILL be dropped (watermark
+    // recovered, not reset), and the in-flight [10:30,10:40) window
+    // must finalize exactly once with its pre-restart contents
+    writeChunk(2, Seq((t("10:05:00"), "view", 99.0), (t("11:00:00"), "click", 1.0)))
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+    val got = spark.read.parquet(outDir)
+      .select("w_start", "w_end", "event_type", "n", "sum_value")
+    val onTime = Seq((t("10:00:10"), "view", 1.5), (t("10:03:00"), "view", 2.0),
+      (t("10:06:00"), "purchase", 10.0), (t("10:35:00"), "view", 3.0),
+      (t("11:00:00"), "click", 1.0)).toDF("ts", "event_type", "value")
+    val expected = graft.streaming.EventStream.windowedCountsBatch(onTime)
+      .where(org.apache.spark.sql.functions.col("w_end") <= t("10:40:00"))
+    assert(got.count() == 3 && expected.count() == 3)
+    assert(got.except(expected).isEmpty && expected.except(got).isEmpty)
+  }
+
   test("watermarked windowed agg: finalized windows == batch oracle, late events dropped") {
     val ss = spark; import ss.implicits._
     implicit val sqlCtx = spark.sqlContext
