@@ -17,16 +17,21 @@ object Dedup {
     * ([[lshCandidatePairs]], [[simhashPairs]],
     * [[graft.ops.Similarity.embeddingNearDups]],
     * [[graft.streaming.NearDupStream.corpusIndex]]): `suppressed_buckets`
-    * / `suppressed_rows` ride the bucket-COUNT aggregation via observe();
-    * coalesce because sum over ZERO rows is SQL NULL and the contract is
-    * "zeros mean nothing suppressed". */
-  private[graft] def observeSuppressedCounts(counts: DataFrame, countCol: String,
+    * / `suppressed_rows` ride the WINDOW-COUNTED rows (each row annotated
+    * with its bucket size in `countCol`) via observe() — per-row
+    * contributions of 1 to suppressed_rows and 1/bucket_n to
+    * suppressed_buckets (sums to exactly 1 per suppressed bucket; double
+    * rounding error ~n*eps, orders of magnitude below round()'s 0.5 at
+    * any physical bucket size). coalesce because sum over ZERO rows is
+    * SQL NULL and the contract is "zeros mean nothing suppressed". */
+  private[graft] def observeSuppressedWindow(counted: DataFrame, countCol: String,
       maxBucket: Int, o: org.apache.spark.sql.Observation): DataFrame =
-    counts.observe(o,
+    counted.observe(o,
+      coalesce(round(sum(when(col(countCol) > maxBucket,
+        lit(1.0) / col(countCol)).otherwise(0.0))), lit(0.0))
+        .cast("long").as("suppressed_buckets"),
       coalesce(sum(when(col(countCol) > maxBucket, 1L).otherwise(0L)), lit(0L))
-        .as("suppressed_buckets"),
-      coalesce(sum(when(col(countCol) > maxBucket, col(countCol)).otherwise(0L)),
-        lit(0L)).as("suppressed_rows"))
+        .as("suppressed_rows"))
 
   /** SIZE-BEFORE-COLLECT capped bucket materialization, the shape every
     * capped pair generator shares: one shuffle on the bucket keys, a
@@ -51,23 +56,16 @@ object Dedup {
     * Surfaced by the round-5 adversarial-skew rehearsal; A/B'd in BenchAB
     * (capped_countfirst_vs_collectfirst).
     *
-    * Suppression metrics ride the windowed rows per-row: each over-cap
-    * row adds 1 to `suppressed_rows` and 1/bucket_n to
-    * `suppressed_buckets` (sums to exactly 1 per suppressed bucket;
-    * double rounding error is ~n*eps — orders of magnitude below the
-    * round() threshold at any physical bucket size). */
+    * Suppression metrics ride the windowed rows
+    * ([[observeSuppressedWindow]]). */
   private[graft] def cappedBuckets(rows: DataFrame, keys: Seq[String],
       member: Column, maxBucket: Int,
       suppressed: Option[org.apache.spark.sql.Observation]): DataFrame = {
     val keyCols = keys.map(col)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(keyCols: _*)
     val counted = rows.withColumn("bucket_n", count(lit(1)).over(w))
-    val countedObs = suppressed.fold(counted)(o => counted.observe(o,
-      coalesce(round(sum(when(col("bucket_n") > maxBucket,
-        lit(1.0) / col("bucket_n")).otherwise(0.0))), lit(0.0))
-        .cast("long").as("suppressed_buckets"),
-      coalesce(sum(when(col("bucket_n") > maxBucket, 1L).otherwise(0L)), lit(0L))
-        .as("suppressed_rows")))
+    val countedObs = suppressed.fold(counted)(
+      observeSuppressedWindow(counted, "bucket_n", maxBucket, _))
     countedObs
       .where(col("bucket_n") >= 2 && col("bucket_n") <= maxBucket)
       .groupBy(keyCols: _*)

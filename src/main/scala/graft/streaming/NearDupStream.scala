@@ -56,12 +56,8 @@ object NearDupStream {
     // twice per index build); suppression metrics ride the windowed rows
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("blk"), col("key"))
     val counted = blocks.withColumn("bucket_n", count(lit(1)).over(w))
-    val countedObs = suppressed.fold(counted)(o => counted.observe(o,
-      coalesce(round(sum(when(col("bucket_n") > maxBucket,
-        lit(1.0) / col("bucket_n")).otherwise(0.0))), lit(0.0))
-        .cast("long").as("suppressed_buckets"),
-      coalesce(sum(when(col("bucket_n") > maxBucket, 1L).otherwise(0L)), lit(0L))
-        .as("suppressed_rows")))
+    val countedObs = suppressed.fold(counted)(
+      graft.ops.Dedup.observeSuppressedWindow(counted, "bucket_n", maxBucket, _))
     countedObs.where(col("bucket_n") <= maxBucket)
       .drop("bucket_n")
       .withColumn("nblocks", lit(nBlocks))
