@@ -61,6 +61,9 @@ object Dedup {
   private[graft] def cappedBuckets(rows: DataFrame, keys: Seq[String],
       member: Column, maxBucket: Int,
       suppressed: Option[org.apache.spark.sql.Observation]): DataFrame = {
+    require(!rows.columns.contains("bucket_n"),
+      "cappedBuckets input must not carry a 'bucket_n' column (it would be " +
+        "silently replaced by the window count)")
     val keyCols = keys.map(col)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(keyCols: _*)
     val counted = rows.withColumn("bucket_n", count(lit(1)).over(w))
