@@ -9,23 +9,41 @@ import org.apache.spark.sql.functions.{coalesce, col, lit}
   * driver's rows check still passes.
   *
   * Canonical form (engine-neutral, exactly reproducible from the
-  * parquet): columns sorted by name; every value cast to string (nulls
-  * -> U+2400); each row serialized as the concatenation of
-  * `<decimal byte length of value's UTF-8 encoding>:<value>` per column
-  * (length prefixes make the framing unambiguous — no separator to
-  * escape); rows sorted by their UTF-8 bytes (unsigned lexicographic ==
+  * parquet): a PREAMBLE carrying the digest's identity — the caller's
+  * `label` (the query name at the gates) then the column names in
+  * sorted order, each framed as
+  * `<decimal byte length of UTF-8 encoding>:<value>`, the preamble
+  * closed with '\n'; then the rows: columns sorted by name; every value
+  * cast to string (nulls -> U+2400); each row serialized as the
+  * concatenation of the same length-prefixed frames per column (length
+  * prefixes make the framing unambiguous — no separator to escape);
+  * rows sorted by their UTF-8 bytes (unsigned lexicographic ==
   * code-point order, NOT Java's UTF-16 code-unit order, which disagrees
-  * for supplementary-plane chars); sha256 over the rows joined with
-  * '\n'.
+  * for supplementary-plane chars); sha256 over preamble + sorted rows,
+  * each row terminated with '\n'.
+  *
+  * The preamble exists because values alone cannot distinguish two
+  * value-identical outputs: without it, a query regressing into ANOTHER
+  * query's identical-valued result, or a column silently renamed, kept
+  * the pinned digest green (x_extract_relational and x_extract_spans
+  * pinned the same sha under v2). Schema identity and query identity
+  * now participate (digest v3; v2 pins do not carry forward — re-pin
+  * from Verify digests.json).
   *
   * Driver-side collect is by design: digesting is a gate-time operation
   * on gate-sized outputs (the largest x_ result at the gate tier is
   * ~31k small rows), not a corpus-scale operator.
   */
 object Digest {
-  def corpusSha(df: DataFrame): (Long, String) = {
-    val cols = df.columns.sorted.map(c =>
-      coalesce(col(c).cast("string"), lit("\u2400")))
+  private def frame(v: String): Array[Byte] = {
+    val bytes = v.getBytes("UTF-8")
+    s"${bytes.length}:".getBytes("UTF-8") ++ bytes
+  }
+
+  def corpusSha(df: DataFrame, label: String = ""): (Long, String) = {
+    val names = df.columns.sorted
+    val cols = names.map(c =>
+      coalesce(col(c).cast("string"), lit("␀")))
     val rows: Array[Array[Byte]] = df.select(cols.toIndexedSeq: _*)
       .collect().map { r =>
         val sb = new StringBuilder
@@ -39,6 +57,9 @@ object Digest {
       }
     java.util.Arrays.sort(rows, java.util.Arrays.compareUnsigned(_: Array[Byte], _: Array[Byte]))
     val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.update(frame(label))
+    names.foreach(n => md.update(frame(n)))
+    md.update('\n'.toByte)
     rows.foreach { b => md.update(b); md.update('\n'.toByte) }
     (rows.length.toLong, md.digest().map("%02x".format(_)).mkString)
   }

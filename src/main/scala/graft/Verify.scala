@@ -40,7 +40,7 @@ object Verify {
         // would collect multi-million-row results at the big tiers for
         // nothing — x_ outputs are gate-sized by construction.
         if (name.startsWith("x_"))
-          digests(name) = Digest.corpusSha(spark.read.parquet(s"$outDir/$name"))
+          digests(name) = Digest.corpusSha(spark.read.parquet(s"$outDir/$name"), name)
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -54,6 +54,27 @@ class DigestSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Digest.corpusSha(n) != Digest.corpusSha(e))
   }
 
+  test("schema identity participates: column names and label flip the digest") {
+    val ss = spark; import ss.implicits._
+    // value-identical outputs under different column names or different
+    // query labels must NOT share a digest (the v2 window: one query
+    // regressing into another's identical-valued result stayed green)
+    val a = Seq(("x", 1)).toDF("s", "i")
+    val renamed = Seq(("x", 1)).toDF("s", "j")
+    assert(Digest.corpusSha(a) != Digest.corpusSha(renamed))
+    assert(Digest.corpusSha(a, "q_one") != Digest.corpusSha(a, "q_two"))
+    assert(Digest.corpusSha(a, "q_one") == Digest.corpusSha(a, "q_one"))
+  }
+
+  test("preamble framing is unambiguous vs row bytes") {
+    val ss = spark; import ss.implicits._
+    // a label that textually extends into the first column name must not
+    // collide with the split version (length prefixes frame each part)
+    val d = Seq(Tuple1("v")).toDF("ab")
+    val e = Seq(Tuple1("v")).toDF("b")
+    assert(Digest.corpusSha(d, "x") != Digest.corpusSha(e, "xa"))
+  }
+
   test("rows sort by UTF-8 bytes (code points), not UTF-16 code units") {
     val ss = spark; import ss.implicits._
     // U+FFFD (BMP, high) vs U+1F600 (supplementary): Java String order
@@ -65,7 +86,9 @@ class DigestSpec extends AnyFunSuite with BeforeAndAfterAll {
     val d2 = Seq(Tuple1(emoji), Tuple1(hi)).toDF("s")
     assert(Digest.corpusSha(d1) == Digest.corpusSha(d2))
     // cross-check against a directly computed reference digest
+    // (preamble: empty label + the one column name 's', framed, + '\n')
     val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.update("0:1:s\n".getBytes("UTF-8"))
     Seq(hi, emoji).map(v => s"${v.getBytes("UTF-8").length}:$v")
       .map(_.getBytes("UTF-8"))
       .sortWith((x, y) => java.util.Arrays.compareUnsigned(x, y) < 0)

@@ -9,7 +9,10 @@ import org.scalatest.BeforeAndAfterAll
   * counts for these (no DuckDB oracle by design), so a silent VALUE
   * drift inside a constant row count would pass it — this spec closes
   * that window. [[Digest.corpusSha]] is column-order- and
-  * row-order-independent, and the values were verified identical across
+  * row-order-independent but query-name- and column-NAME-sensitive
+  * (digest v3: the label + sorted schema are in the hash preamble, so
+  * value-identical outputs of different queries no longer share a
+  * digest), and the values were verified identical across
   * cpus=4 and cpus=32 sessions before pinning (includes the KMeans-fit
   * x_ann_ivf — deterministic under seed 42 on this input).
   *
@@ -36,25 +39,25 @@ class XDigestSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val SfDir = "/root/testdata/sf0.01"
 
   private val Golden: Map[String, (Long, String)] = Map(
-    "x_ann_ivf" -> ((50L, "1803ca9e1afa056dab4daa3b19270e0ddc52ce8b1b1aae9307e2f31cf795614a")),
-    "x_ann_lsh" -> ((50L, "2be30ef77801c72b8cf872e87423067bb9a48fcb2bac29ac532d3ba5dec5edda")),
-    "x_book_md" -> ((200L, "14d6232084ff9f9a32b028f242b31d90565183cbdf15632f2484db51adb0f569")),
-    "x_book_xml" -> ((200L, "5bd1ada453cd25dbb7ad957f387f03ab3348536b6291aaea27cc382b8c4cfa44")),
-    "x_embed_neardup" -> ((442L, "229e06ffd40c5636de103bdb55a57c1467aed8c64308366b415c2f0d5fd6bea7")),
-    "x_ensemble_vote" -> ((500L, "ec1366294834204db15dbba08ef6e36b864bbb1d12c9e4759dcf29f879c2fd97")),
-    "x_extract_docs" -> ((200L, "bc33c73393e6dce9b08065aef7fec67d9fd44d4afac64b6d5f34a865a6b74220")),
-    "x_extract_relational" -> ((31431L, "0665579e5b76dd703dffdb29f6490a04f47ebc709362b1583fc0d37f49c0754b")),
-    "x_extract_spans" -> ((31431L, "0665579e5b76dd703dffdb29f6490a04f47ebc709362b1583fc0d37f49c0754b")),
-    "x_grouped_spans" -> ((749L, "b998ef59244a78d0478dccc43d8651e3cdc9262ea7d8550060cba1275aff7c7d")),
-    "x_grouped_xml" -> ((200L, "1ff7d9d82c105d86cc892604f47a8e586302f745a27af062720af60e96804814")),
-    "x_media_meta" -> ((1315L, "7bdd5583e23d0ecb9f488462f442769e41055621864e6fa37695b3312923edb6")),
-    "x_norm_rules" -> ((118L, "b72b68c94593c8e7d9010550e2ff840a53b486cc86a462848dd78fff1cda23df")),
-    "x_phash_dedup" -> ((500L, "66a704d8df045fccf455a2116faf0f6b5d23a3deb1b3c314794b2c6337e02ce7")),
-    "x_reading_order" -> ((500L, "b16b625415801ca445abc65c709db42816bb00fbafda2d241a01ded4283b3748")),
-    "x_rover_vote" -> ((500L, "dbbac2b06714f195545bb3e6b33459639cbfb821b0ab56990104b412698be3fe")),
-    "x_simhash_pairs" -> ((2483L, "bdc1d10aede0573496d8828fd51e2f1fbf6a48ee700fba65a9d1c740b9de8baa")),
-    "x_stream_neardup" -> ((849L, "56be73fc76cfaddcb9037930ef2f06ccc3ade58808b2e1930e7291337c7f7434")),
-    "x_toc_match" -> ((554L, "9c41531317d34c7c3b83120471900f47eeb9b98285f50a9861bb0facefb6d78e"))
+    "x_ann_ivf" -> ((50L, "3c7ca42d3c09908918dcfeed106d86030025b5fad4a1341d9af26067a5093a27")),
+    "x_ann_lsh" -> ((50L, "4b93da46ee3fccdf0f1f50f075ceb7407155b983eba7293ebdd5316f010fff71")),
+    "x_book_md" -> ((200L, "aa78e13f2b6d027693c02d2c3813e80e81b1b79d389dc8de4a1c3ead74ab1c10")),
+    "x_book_xml" -> ((200L, "7e8145435868d8d8cfc4a043f0a6909c1b3e1634342488558b7d51a3dfd2dc9b")),
+    "x_embed_neardup" -> ((442L, "b063f86f60a8461b4c4e31ca066136c158a8e1b179baa489a3e50c8fcd305564")),
+    "x_ensemble_vote" -> ((500L, "0e6cf74f4eecc48c5ba90fae65c5d90c725942c0fcb32e495e59f20d9e24985a")),
+    "x_extract_docs" -> ((200L, "b93660b57507dbc0ba2331a3791137a67f68a1ea06c7ccaa97347f075f208c31")),
+    "x_extract_relational" -> ((31431L, "07a99ecb0e5fb630ecd6901aab55da27a0ea709c62cf77e302cca9001eaebcdc")),
+    "x_extract_spans" -> ((31431L, "10bc6b5a7df5b8e5976242d10d214dc6f8c2780d77bcbdd24c6cdcda91dfc9f7")),
+    "x_grouped_spans" -> ((749L, "e12a3c981c81b784c79ca569433bfffade99b658c73604d590505a6e9e960893")),
+    "x_grouped_xml" -> ((200L, "366fa65c0e3a07a12818db18f34417c0d85a6a94f2ad1acd69f98603cbc084bd")),
+    "x_media_meta" -> ((1315L, "849dadb72ff4abdd9cb255f9bc18fbe0b1aeb5450385de99a08d5b0b0f19e9c4")),
+    "x_norm_rules" -> ((118L, "6d51fe9cbebf101addd5327e1f0467ea43d30d109ee68d764730702109a60d92")),
+    "x_phash_dedup" -> ((500L, "cd6c4c8b58a051635f052561ddf02e5a3bece6fd6bec7c330bbe190abdc90993")),
+    "x_reading_order" -> ((500L, "869799828fa75aa5101b7f9464e28ba7153bd3b31c18a5265b9a7de7a6e7b37d")),
+    "x_rover_vote" -> ((500L, "6f7f4a424ea0ba05acf6e873d2b26393c2a0c108c2550552f822eed3de5d50d6")),
+    "x_simhash_pairs" -> ((2483L, "b41d66ec1ff5817155d68c827f29ecd4666db2ab91014ebf9eb7ccfcbe0503d0")),
+    "x_stream_neardup" -> ((849L, "cc3b17b0cfd6d81ea954343dedb37f8e7cddeaaa7f892939935b8698b91a021b")),
+    "x_toc_match" -> ((554L, "ef3255cf18a325fa61e885a0f74dbd5eeae0e2422f55b0384ffcea4707fd408d"))
   )
 
   test("every x_ query has a pinned digest (a new gate must pin one)") {
@@ -66,7 +69,7 @@ class XDigestSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   Golden.toSeq.sortBy(_._1).foreach { case (name, (rows, sha)) =>
     test(s"$name digest at sf0.01") {
-      val (gotRows, gotSha) = Digest.corpusSha(SparkEntry.queries(name)(spark, SfDir))
+      val (gotRows, gotSha) = Digest.corpusSha(SparkEntry.queries(name)(spark, SfDir), name)
       assert(gotRows == rows, s"$name rows $gotRows != pinned $rows")
       assert(gotSha == sha, s"$name sha $gotSha != pinned $sha " +
         "(value drift inside a constant row count, or an intentional " +
