@@ -109,12 +109,22 @@ object LangIdImpl {
     * the five-`regexp_replace` Column formulation it replaces
     * ([[graft.ops.TextAnalytics.langIdExpr]], DuckDB-oracle-gated):
     * `length()` and Java regex character classes both operate on CODE
-    * POINTS, so the scan advances by Character.charCount and the class
+    * POINTS, so the scan advances one code point at a time and the class
     * ranges (all BMP) are compared against the full code point. Ratio
     * arithmetic mirrors the Column form: each count cast to double over
     * max(len, 1). One pass instead of five regex NFA walks per doc —
     * this runs over EVERY document of a corpus, so the constant matters
-    * (BenchAB langid_regex_vs_codegen). */
+    * (BenchAB langid_regex_vs_codegen).
+    *
+    * The scan is ALLOCATION-FREE: code points are decoded directly from
+    * the UTF8String's UTF-8 bytes (no toString — the previous shape paid
+    * a UTF-8->UTF-16 transcode plus a String allocation per document,
+    * the one expression guaranteed to visit every doc of the corpus).
+    * Spark strings are well-formed UTF-8 by construction; a truncated
+    * trailing sequence (defensive case) counts as one code point with no
+    * class, exactly what the toString path's single U+FFFD replacement
+    * contributed. Oracle-equivalence re-verified at sf0.01 + sf10 after
+    * the rewrite (q_langid hash-match). */
   private[this] val ja = UTF8String.fromString("ja")
   private[this] val ko = UTF8String.fromString("ko")
   private[this] val zh = UTF8String.fromString("zh")
@@ -123,19 +133,31 @@ object LangIdImpl {
   private[this] val unknown = UTF8String.fromString("unknown")
 
   def langId(s: UTF8String): UTF8String = {
-    val str = s.toString
+    val n = s.numBytes()
     var kana = 0L; var hangul = 0L; var cjk = 0L; var cyr = 0L; var latin = 0L
     var total = 0L
     var i = 0
-    while (i < str.length) {
-      val cp = str.codePointAt(i)
+    while (i < n) {
+      val b0 = s.getByte(i) & 0xff
+      var cp = b0
+      var len = 1
+      if (b0 >= 0x80) {
+        if ((b0 & 0xe0) == 0xc0) { len = 2; cp = b0 & 0x1f }
+        else if ((b0 & 0xf0) == 0xe0) { len = 3; cp = b0 & 0x0f }
+        else { len = 4; cp = b0 & 0x07 }
+        if (i + len > n) { cp = 0xfffd; len = n - i }
+        else {
+          var j = 1
+          while (j < len) { cp = (cp << 6) | (s.getByte(i + j) & 0x3f); j += 1 }
+        }
+      }
       if (cp >= 0x3040 && cp <= 0x30ff) kana += 1
       else if (cp >= 0xac00 && cp <= 0xd7af) hangul += 1
       else if (cp >= 0x4e00 && cp <= 0x9fff) cjk += 1
       else if (cp >= 0x0400 && cp <= 0x04ff) cyr += 1
       else if ((cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z')) latin += 1
       total += 1
-      i += Character.charCount(cp)
+      i += len
     }
     val len = math.max(total, 1L).toDouble
     if (kana.toDouble / len > 0.1) ja

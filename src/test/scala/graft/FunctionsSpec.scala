@@ -97,6 +97,48 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.count { case (_, _, b0, b1) => b0 == b1 } < got.length)
   }
 
+  test("langId UTF-8 byte scan == toString/codePointAt reference semantics") {
+    // the r6 allocation-free rewrite decodes code points from the
+    // UTF8String's bytes; this reference reproduces the replaced
+    // toString-based scan exactly (incl. the classification ratios)
+    def ref(str: String): String = {
+      var kana = 0L; var hangul = 0L; var cjk = 0L; var cyr = 0L; var latin = 0L
+      var total = 0L
+      var i = 0
+      while (i < str.length) {
+        val cp = str.codePointAt(i)
+        if (cp >= 0x3040 && cp <= 0x30ff) kana += 1
+        else if (cp >= 0xac00 && cp <= 0xd7af) hangul += 1
+        else if (cp >= 0x4e00 && cp <= 0x9fff) cjk += 1
+        else if (cp >= 0x0400 && cp <= 0x04ff) cyr += 1
+        else if ((cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z')) latin += 1
+        total += 1
+        i += Character.charCount(cp)
+      }
+      val len = math.max(total, 1L).toDouble
+      if (kana / len > 0.1) "ja" else if (hangul / len > 0.1) "ko"
+      else if (cjk / len > 0.3) "zh" else if (cyr / len > 0.3) "ru"
+      else if (latin / len > 0.3) "en" else "unknown"
+    }
+    val rnd = new scala.util.Random(42)
+    // alphabet spans every UTF-8 width: ASCII (1B), Cyrillic (2B),
+    // kana/hangul/CJK (3B), supplementary (4B, surrogate pairs)
+    val pool: IndexedSeq[Int] = ('a'.toInt to 'z'.toInt) ++ Seq(0x0410, 0x0430, 0x04ff,
+      0x3041, 0x30fe, 0xac00, 0xd7af, 0x4e00, 0x9fff, 0x20, 0x2400,
+      0x1F600, 0x20BB7, 0x10FFFF, 0x7f, 0x80, 0x7ff, 0x800, 0xffff, 0x10000)
+    val cases = Seq("", "a", "あ", new String(Character.toChars(0x1F600))) ++
+      (0 until 500).map { _ =>
+        val n = rnd.nextInt(60)
+        new String((0 until n).flatMap(_ =>
+          Character.toChars(pool(rnd.nextInt(pool.length)))).toArray)
+      }
+    cases.foreach { s =>
+      val got = graft.functions.LangIdImpl.langId(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s)).toString
+      assert(got == ref(s), s"langId mismatch on ${s.take(40)}")
+    }
+  }
+
   test("expressions usable over a table scan") {
     val ss = spark; import ss.implicits._
     val docs = Seq(("a", "信頼性の設計"), ("b", "信頼性の設訃")).toDF("id", "t")
