@@ -42,9 +42,9 @@ object SparkEntry {
     // the streaming-ingest dedup path run in batch mode (same code path
     // Structured Streaming executes per micro-batch; stream==batch is
     // pinned in StreamingSpec): newest docs vs the historical-corpus
-    // index — through the PRODUCTION artifact lifecycle (writeIndex once
-    // per corpus per JVM, loadIndex reads the layout from the O(1)
-    // _index_meta sidecar, candidates never scans the index for it)
+    // index — through the PRODUCTION artifact lifecycle (buildIndex once
+    // per corpus per JVM = versioned manifest commit, loadIndex reads the
+    // layout from the O(1) manifest, candidates never scans the index for it)
     "x_stream_neardup" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val incoming = docs.where(col("doc_id") >= 400)
@@ -640,8 +640,8 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, (Similarity.IvfModel, String)]()
 
   /** Per-JVM near-dup corpus-index artifact keyed by corpus dir: built
-    * and persisted once via the production writeIndex path (layout
-    * sidecar included), reloaded through loadIndex thereafter. */
+    * and persisted once via the production buildIndex path (versioned
+    * manifest commit), reloaded through loadIndex thereafter. */
   private val streamIndexes =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -651,8 +651,7 @@ object SparkEntry {
       val corpus = t(s, dir, "documents").where(col("doc_id") < 400)
         .withColumn("doc_id", col("doc_id").cast("string"))
       val p = java.nio.file.Files.createTempDirectory("graft_nd_index").toString + "/idx"
-      graft.streaming.NearDupStream.writeIndex(
-        graft.streaming.NearDupStream.corpusIndex(corpus), p)
+      graft.streaming.NearDupStream.buildIndex(corpus, p)
       p
     })
     graft.streaming.NearDupStream.loadIndex(s, path)

@@ -65,7 +65,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSet == batchExpected)
   }
 
-  test("persisted corpus index: O(1) layout sidecar, mixed-layout write rejected") {
+  test("persisted corpus index: O(1) manifest layout, failed build leaves live version") {
     val ss = spark; import ss.implicits._
     val corpus = Seq(
       ("c0", "the quick brown fox jumps over the lazy dog again and again"),
@@ -73,44 +73,54 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("c2", "the quick brown fox jumps over the lazy dog again and again!"))
       .toDF("doc_id", "text")
     val dir = java.nio.file.Files.createTempDirectory("ndsidx").toString
-    // non-default layout proves the sidecar is READ, not defaulted
-    graft.streaming.NearDupStream.writeIndex(
-      graft.streaming.NearDupStream.corpusIndex(corpus, nBlocks = 8), s"$dir/idx")
-    // the sidecar is one tiny parquet row, underscore-hidden from table reads
-    assert(new java.io.File(s"$dir/idx/_index_meta").isDirectory)
+    // non-default layout proves the manifest is READ, not defaulted
+    graft.streaming.NearDupStream.buildIndex(corpus, s"$dir/idx", nBlocks = 8)
+    assert(new java.io.File(s"$dir/idx/v_00000001/MANIFEST").isFile)
     val loaded = graft.streaming.NearDupStream.loadIndex(spark, s"$dir/idx")
     assert(loaded.nBlocks == 8)
+    // persisted content == the in-memory corpusIndex shape, row for row
+    val inMem = graft.streaming.NearDupStream.corpusIndex(corpus, nBlocks = 8)
+      .collect().map(_.toString).sorted.toSeq
+    assert(loaded.df.collect().map(_.toString).sorted.toSeq == inMem)
     val incoming = Seq(
       ("s0", "the quick brown fox jumps over the lazy dog again and again"),
       ("s1", "brand new document that matches nothing in the corpus at all"))
       .toDF("doc_id", "text")
-    // sidecar path == scan-discovery path, row for row
-    val viaSidecar = loaded.candidates(incoming, maxDist = 16)
+    // manifest path == scan-discovery path, row for row
+    val viaManifest = loaded.candidates(incoming, maxDist = 16)
       .as[(String, String, Int)].collect().toSet
     val viaScan = graft.streaming.NearDupStream.candidates(
         incoming, loaded.df, maxDist = 16)
       .as[(String, String, Int)].collect().toSet
-    assert(viaSidecar == viaScan && viaSidecar.exists(_._1 == "s0") &&
-      !viaSidecar.exists(_._1 == "s1"))
-    // a concatenation of indexes built with different layouts must fail
-    // AT WRITE TIME (layout validation rides the write job)
+    assert(viaManifest == viaScan && viaManifest.exists(_._1 == "s0") &&
+      !viaManifest.exists(_._1 == "s1"))
+    // an in-memory concatenation of different layouts is still rejected
+    // at the candidates seam (the persisted path can no longer even
+    // EXPRESS a mixed layout: nblocks is a manifest-level property)
     val mixed = graft.streaming.NearDupStream.corpusIndex(corpus, nBlocks = 4)
       .unionByName(graft.streaming.NearDupStream.corpusIndex(corpus, nBlocks = 8))
-    // ... and a rejected write must leave an EXISTING index untouched
-    // (validate-then-swap: the bad data lands in a temp dir, never over
-    // the live path)
     val e = intercept[IllegalArgumentException] {
-      graft.streaming.NearDupStream.writeIndex(mixed, s"$dir/idx")
+      graft.streaming.NearDupStream.candidates(incoming, mixed, maxDist = 16).collect()
     }
     assert(e.getMessage.contains("block layouts"))
+    // a build whose job FAILS must leave the committed version fully
+    // live (the fresh version dir has no manifest and is skipped)
+    val bad = corpus.withColumn("text",
+      org.apache.spark.sql.functions.raise_error(
+        org.apache.spark.sql.functions.lit("boom")))
+    intercept[Exception] {
+      graft.streaming.NearDupStream.buildIndex(bad, s"$dir/idx", nBlocks = 8)
+    }
     val survivor = graft.streaming.NearDupStream.loadIndex(spark, s"$dir/idx")
     assert(survivor.nBlocks == 8 &&
       survivor.candidates(incoming, maxDist = 16)
-        .as[(String, String, Int)].collect().toSet == viaSidecar)
-    // empty corpus: write succeeds, loads with the documented default
-    graft.streaming.NearDupStream.writeIndex(
-      graft.streaming.NearDupStream.corpusIndex(corpus.limit(0)), s"$dir/empty")
-    assert(graft.streaming.NearDupStream.loadIndex(spark, s"$dir/empty").nBlocks == 4)
+        .as[(String, String, Int)].collect().toSet == viaManifest)
+    // empty corpus: build succeeds (explicit manifest schema — no parquet
+    // inference on the empty segment), loads with the declared layout
+    graft.streaming.NearDupStream.buildIndex(corpus.limit(0), s"$dir/empty")
+    val empty = graft.streaming.NearDupStream.loadIndex(spark, s"$dir/empty")
+    assert(empty.nBlocks == 4 &&
+      empty.candidates(incoming, maxDist = 16).collect().isEmpty)
   }
 
   test("flatMapGroupsWithState dedup == batch fold across micro-batches") {
@@ -216,8 +226,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("c1", "completely different corpus text about spark execution plans"),
       ("c2", "the quick brown fox jumps over the lazy dog again and again!"))
       .toDF("doc_id", "text")
-    graft.streaming.NearDupStream.writeIndex(
-      graft.streaming.NearDupStream.corpusIndex(corpus), s"$base/idx")
+    graft.streaming.NearDupStream.buildIndex(corpus, s"$base/idx")
     val index = graft.streaming.NearDupStream.loadIndex(spark, s"$base/idx")
     val incoming = Seq(
       ("s0", "the quick brown fox jumps over the lazy dog again and again"),
