@@ -97,6 +97,21 @@ object BenchAB {
             .withColumn("doc_id", org.apache.spark.sql.functions.col("doc_id").cast("string")),
           maxDist = 16),
         identical = false),
+      // r6: window capped shape (default, digest-pinned) vs the heavy-key
+      // prefilter on a NATURAL corpus — the prefilter re-derives the
+      // blocks once per pass, so on non-hostile data it should be ~noise
+      // for cheap derivations (simhash) while SkewBench shows its win on
+      // hostile skew
+      "capped_window_vs_prefilter" -> Pair(
+        (s: SparkSession, dir: String) => graft.ops.Dedup.simhashPairs(
+          s.read.parquet(s"$dir/documents.parquet")
+            .withColumn("doc_id", org.apache.spark.sql.functions.col("doc_id").cast("string")),
+          maxDist = 16),
+        (s: SparkSession, dir: String) => graft.ops.Dedup.simhashPairs(
+          s.read.parquet(s"$dir/documents.parquet")
+            .withColumn("doc_id", org.apache.spark.sql.functions.col("doc_id").cast("string")),
+          maxDist = 16, hotKeyPrefilter = true),
+        identical = false),
       // r5: five-regex language-ID vs the single-pass codegen expression
       "langid_regex_vs_codegen" -> Pair(
         (s: SparkSession, dir: String) => {

@@ -138,16 +138,30 @@ object SkewBench {
     def run(op: String, observed: Boolean = true)(
         build: Option[Observation] => DataFrame): Unit = {
       val obs = if (observed) Some(new Observation(s"skew_$op")) else None
+      // shuffle bytes are the quantity that scales with the hot mass
+      // (wall time at 200k is memory-resident and host-noise-dominated):
+      // a shape that keeps a 10^9-copy hot key out of the exchange shows
+      // up HERE long before the local corpus is big enough to spill
+      val shuffled = new java.util.concurrent.atomic.AtomicLong()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          shuffled.addAndGet(te.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      }
+      spark.sparkContext.addSparkListener(listener)
       val t = System.nanoTime()
       val rows = build(obs).count()
       val wall = (System.nanoTime() - t) / 1e9
+      // listener delivery is async: let the byte counter settle
+      var last = -1L
+      while (shuffled.get != last) { last = shuffled.get; Thread.sleep(200) }
+      spark.sparkContext.removeSparkListener(listener)
       // get blocks until the observed action's metrics land (an op that
       // takes no Observation must pass observed = false — get on an
       // unattached Observation never returns)
       val m = obs.map(_.get).getOrElse(Map.empty[String, Any])
       val sb = m.get("suppressed_buckets").map(_.toString).getOrElse("null")
       val sr = m.get("suppressed_rows").map(_.toString).getOrElse("null")
-      println(f"""{"op":"$op","wall_sec":$wall%.2f,"rows":$rows,"suppressed_buckets":$sb,"suppressed_rows":$sr}""")
+      println(f"""{"op":"$op","wall_sec":$wall%.2f,"rows":$rows,"shuffle_mb":${shuffled.get / 1048576.0}%.1f,"suppressed_buckets":$sb,"suppressed_rows":$sr}""")
     }
 
     // exact dedup: uncapped by design — the 100k clique is ONE group row
@@ -159,9 +173,23 @@ object SkewBench {
           hashFamily = "xxhash64"),
         maxBucket = 1000, suppressed = o)
     }
+    // ... and with the heavy-key prefilter: the hot mass dies map-side
+    // before the bucket exchange (signature derivation runs twice — the
+    // documented trade; on THIS corpus the hot band dominates, so the
+    // prefilter should win despite it)
+    run("lsh_candidate_pairs_prefilter") { o =>
+      graft.ops.Dedup.lshCandidatePairs(
+        graft.ops.Dedup.minhashSignatures(docs, bands = 8, shingleK = 8,
+          hashFamily = "xxhash64"),
+        maxBucket = 1000, suppressed = o, hotKeyPrefilter = true)
+    }
     // SimHash pairs, default cap
     run("simhash_pairs") { o =>
       graft.ops.Dedup.simhashPairs(docs, maxDist = 3, maxBucket = 1000, suppressed = o)
+    }
+    run("simhash_pairs_prefilter") { o =>
+      graft.ops.Dedup.simhashPairs(docs, maxDist = 3, maxBucket = 1000, suppressed = o,
+        hotKeyPrefilter = true)
     }
     // embedding near-dups, capped SRP buckets. nPlanes follows the
     // occupancy math (Similarity scaladoc): at N=200k, 16 planes put
@@ -174,6 +202,11 @@ object SkewBench {
       graft.ops.Similarity.embeddingNearDups(emb, dimCount = Dim,
         threshold = 0.95, nPlanes = 16, bands = 4, maxBucket = 2000, suppressed = o)
     }
+    run("embedding_neardups_prefilter") { o =>
+      graft.ops.Similarity.embeddingNearDups(emb, dimCount = Dim,
+        threshold = 0.95, nPlanes = 16, bands = 4, maxBucket = 2000, suppressed = o,
+        hotKeyPrefilter = true)
+    }
     // streaming-ingest near-dup in batch mode: echo bands vs the corpus
     // index (hot bucket suppressed AT THE INDEX, warm echoes must match)
     run("stream_neardup_batch") { o =>
@@ -183,6 +216,42 @@ object SkewBench {
       graft.streaming.NearDupStream.candidates(
         docs.where(col("doc_id").cast("long") >= indexCut), index, maxDist = 3)
         .dropDuplicates("doc_id", "corpus_id")
+    }
+
+    // ---- deep-hot rehearsal: the bucket stage IS the op ------------------
+    // On the mixed corpus above, pair expansion dominates both wall and
+    // shuffle, so the two capped shapes look alike. This band is the
+    // regime the prefilter exists for — a corpus that is ~ALL one hot
+    // key (the 10^9-copy-at-scale shape, miniaturized): the window shape
+    // must shuffle (and at scale spill) every hot row before dropping
+    // it; the prefilter's count pass moves one summary row per map
+    // partition and the hot mass dies map-side, never entering an
+    // exchange. Expect a material drop in shuffled bytes AND wall here.
+    val deepN = sys.env.getOrElse("SKEW_DEEP_N", "2000000").toLong
+    locally {
+      import spark.implicits._
+      val hotText = "deep hot corpus single text repeated across almost every document"
+      spark.range(0, deepN, 1, spark.sparkContext.defaultParallelism * 2)
+        .map { boxed =>
+          val id: Long = boxed
+          val text =
+            if (id % 4000 == 1999) // 0.025% warm family (500 copies, under the
+              "deep warm family text shared by a small under-cap clique of docs"
+            else if (id % 200 == 199) { // cap) + 0.5% unique tail: non-empty
+              val r = new scala.util.Random(id * 2654435761L + 3) // result, so
+              (0 until 16).map(_ => s"w${r.nextInt(400000)}").mkString(" ") // the
+            } else hotText // suppression metrics deliver (no AQE empty-plan prune)
+          (id.toString, text)
+        }.toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/deephot")
+    }
+    def deep = spark.read.parquet(s"$dir/deephot")
+    run("deep_hot_simhash_window") { o =>
+      graft.ops.Dedup.simhashPairs(deep, maxDist = 3, maxBucket = 1000, suppressed = o)
+    }
+    run("deep_hot_simhash_prefilter") { o =>
+      graft.ops.Dedup.simhashPairs(deep, maxDist = 3, maxBucket = 1000, suppressed = o,
+        hotKeyPrefilter = true)
     }
     spark.stop()
   }

@@ -39,6 +39,18 @@ object SparkEntry {
     "x_phash_dedup" -> ((s, dir) => phashQuery(s, dir)),
     "x_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents").withColumn("doc_id", col("doc_id").cast("string")), maxDist = 16)),
+    // the PRODUCTION MinHash hash family (xxhash64: codegen 64-bit,
+    // 8-byte sigs = ~1/4 the shuffle bytes of the md5 oracle family),
+    // continuously gated rows+digest — the md5 family stays the DuckDB
+    // oracle (q_minhash_sig / q_lsh_pairs); this pins the family every
+    // bench/verify run actually ships at scale
+    "x_minhash_xx64" -> ((s, dir) =>
+      Dedup.lshCandidatePairs(
+        Dedup.minhashSignatures(
+          t(s, dir, "documents").withColumn("doc_id", col("doc_id").cast("string")),
+          bands = 8, shingleK = 8, hashFamily = "xxhash64"),
+        maxBucket = 50)
+        .orderBy(col("doc_a"), col("doc_b"))),
     // the streaming-ingest dedup path run in batch mode (same code path
     // Structured Streaming executes per micro-batch; stream==batch is
     // pinned in StreamingSpec): newest docs vs the historical-corpus

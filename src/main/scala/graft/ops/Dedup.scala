@@ -57,22 +57,59 @@ object Dedup {
     * (capped_countfirst_vs_collectfirst).
     *
     * Suppression metrics ride the windowed rows
-    * ([[observeSuppressedWindow]]). */
+    * ([[observeSuppressedWindow]]).
+    *
+    * `hotKeyPrefilter` (opt-in) changes WHERE the hot mass dies. The
+    * window shape shuffles every row — including the hot bucket's — and
+    * spills it before the size filter drops it: at a 10^9-copy hot key
+    * that is ~10^9 rows of exchange + disk paid to learn the bucket is
+    * garbage. With the prefilter, a first pass aggregates EXACT
+    * per-bucket counts (map-side combine collapses a hot key to one row
+    * per map partition — the count shuffle moves bucket summaries, not
+    * mass), the over-cap keys come back as a broadcast, and hot rows are
+    * dropped MAP-SIDE by an anti-join before any exchange — the hot mass
+    * is never shuffled, spilled, or buffered. The price: the upstream
+    * derivation (e.g. the minhash signature pass) runs once per pass —
+    * twice total — because the count branch and the bucket branch cannot
+    * share an exchange (the round-5 ReuseExchange finding). Choose by
+    * cost model: cheap codegen derivations (simhash) or hostile skew →
+    * prefilter on (SkewBench: the 100k-dup hot band drops from ~7-10 s
+    * to the cost of its bucket summaries); expensive derivations on
+    * natural corpora → window shape (default; digests/oracles pinned on
+    * it). Result content and suppression metrics are IDENTICAL either
+    * way (spec-pinned): exact counts mean the prefilter drops exactly
+    * the buckets the window filter would. */
   private[graft] def cappedBuckets(rows: DataFrame, keys: Seq[String],
       member: Column, maxBucket: Int,
-      suppressed: Option[org.apache.spark.sql.Observation]): DataFrame = {
+      suppressed: Option[org.apache.spark.sql.Observation],
+      hotKeyPrefilter: Boolean = false): DataFrame = {
     require(!rows.columns.contains("bucket_n"),
       "cappedBuckets input must not carry a 'bucket_n' column (it would be " +
-        "silently replaced by the window count)")
+        "silently replaced by the bucket count)")
     val keyCols = keys.map(col)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(keyCols: _*)
-    val counted = rows.withColumn("bucket_n", count(lit(1)).over(w))
-    val countedObs = suppressed.fold(counted)(
-      observeSuppressedWindow(counted, "bucket_n", maxBucket, _))
-    countedObs
-      .where(col("bucket_n") >= 2 && col("bucket_n") <= maxBucket)
-      .groupBy(keyCols: _*)
-      .agg(sort_array(collect_list(member)).as("members"))
+    if (hotKeyPrefilter) {
+      val counts = rows.groupBy(keyCols: _*).agg(count(lit(1)).as("bucket_n"))
+      val countsObs = suppressed.fold(counts)(o => counts.observe(o,
+        coalesce(sum(when(col("bucket_n") > maxBucket, 1L).otherwise(0L)), lit(0L))
+          .as("suppressed_buckets"),
+        coalesce(sum(when(col("bucket_n") > maxBucket, col("bucket_n")).otherwise(0L)), lit(0L))
+          .as("suppressed_rows")))
+      val hot = countsObs.where(col("bucket_n") > maxBucket).select(keyCols: _*)
+      rows.join(broadcast(hot), keys, "left_anti")
+        .groupBy(keyCols: _*)
+        // buffers bounded by maxBucket: every surviving bucket is <= cap
+        .agg(sort_array(collect_list(member)).as("members"))
+        .where(size(col("members")) >= 2)
+    } else {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(keyCols: _*)
+      val counted = rows.withColumn("bucket_n", count(lit(1)).over(w))
+      val countedObs = suppressed.fold(counted)(
+        observeSuppressedWindow(counted, "bucket_n", maxBucket, _))
+      countedObs
+        .where(col("bucket_n") >= 2 && col("bucket_n") <= maxBucket)
+        .groupBy(keyCols: _*)
+        .agg(sort_array(collect_list(member)).as("members"))
+    }
   }
 
   /** Uncapped modes drop nothing: resolve the caller's Observation with
@@ -168,7 +205,8 @@ object Dedup {
     * caveat as there: an EMPTY map means "metrics not delivered",
     * zeros mean "nothing suppressed"). */
   def lshCandidatePairs(signatures: DataFrame, maxBucket: Int = Int.MaxValue,
-      suppressed: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+      suppressed: Option[org.apache.spark.sql.Observation] = None,
+      hotKeyPrefilter: Boolean = false): DataFrame = {
     if (maxBucket == Int.MaxValue) {
       // uncapped: classic band-bucket self-join (AQE splits hot buckets)
       val a = signatures.as("a")
@@ -184,7 +222,7 @@ object Dedup {
       // before any list exists), pairs expand in-row (<= maxBucket^2) —
       // no self-join; ReuseExchange shuffles the signatures once.
       val buckets = cappedBuckets(signatures, Seq("band", "sig"),
-        col("doc_id"), maxBucket, suppressed)
+        col("doc_id"), maxBucket, suppressed, hotKeyPrefilter)
       buckets
         .select(col("members"), posexplode(col("members")))
         .withColumnRenamed("pos", "i").withColumnRenamed("col", "doc_a")
@@ -314,7 +352,8 @@ object Dedup {
     * (runtime-settable; SparkE2ESpec pins both behaviors). */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3, maxBucket: Int = 1000,
       idCol: String = "doc_id", textCol: String = "text", nBlocks: Int = 4,
-      suppressed: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+      suppressed: Option[org.apache.spark.sql.Observation] = None,
+      hotKeyPrefilter: Boolean = false): DataFrame = {
     val blocks = simhashBlocks(docs, nBlocks, idCol, textCol)
     val pairs =
       if (maxBucket == Int.MaxValue) {
@@ -331,7 +370,7 @@ object Dedup {
         // members by doc_id (first field), so in-row (i, j>i) expansion
         // preserves the doc_a < doc_b contract.
         val buckets = cappedBuckets(blocks, Seq("blk", "key"),
-          struct(col("doc_id"), col("simhash")), maxBucket, suppressed)
+          struct(col("doc_id"), col("simhash")), maxBucket, suppressed, hotKeyPrefilter)
         buckets
           .select(col("members"), posexplode(col("members")))
           .withColumnRenamed("pos", "i").withColumnRenamed("col", "a")

@@ -120,7 +120,8 @@ object Similarity {
   def embeddingNearDups(vectors: DataFrame, dimCount: Int, threshold: Double = 0.95,
       nPlanes: Int = 8, bands: Int = 4, maxBucket: Int = 4096, seed: Long = 42L,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      suppressed: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+      suppressed: Option[org.apache.spark.sql.Observation] = None,
+      hotKeyPrefilter: Boolean = false): DataFrame = {
     // one row per (vector, band): band b uses planes [b*nPlanes, (b+1)*nPlanes)
     val sigs = vectors.select(col(idCol).as("id"), posexplode(array(
       (0 until bands).map(b => GraftColumns.srpBand(col(vecCol), b * nPlanes, nPlanes, seed)): _*
@@ -129,7 +130,7 @@ object Similarity {
     // count-first shared shape: Dedup.cappedBuckets (buffers bounded by
     // maxBucket, suppression metrics ride the count aggregation)
     val buckets = Dedup.cappedBuckets(sigs, Seq("band", "sig"),
-      col("id"), maxBucket, suppressed)
+      col("id"), maxBucket, suppressed, hotKeyPrefilter)
     val candidates = buckets
       .select(col("members"), posexplode(col("members")))
       .withColumnRenamed("pos", "i").withColumnRenamed("col", "id_a")

@@ -294,6 +294,42 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(obs0.get("suppressed_rows").asInstanceOf[Long] == 0L)
   }
 
+  test("hot-key prefilter == window shape: pairs and suppression metrics identical") {
+    val ss = spark; import ss.implicits._
+    // hot clique over the cap + a warm family under it + uniques: the
+    // result is non-empty (no AQE metrics pruning) and suppression is
+    // non-zero, so BOTH sides of the contract are exercised
+    val docs = ((0 until 40).map(i => (f"h$i%03d", "hot boilerplate body text " * 4)) ++
+      (0 until 6).map(i => (f"w$i%03d", s"warm family base text with shared words u$i")) ++
+      (0 until 20).map(i => (f"u$i%03d", s"unique text $i with words ${i * 31} ${i * 77} ${i * 13}")))
+      .toDF("doc_id", "text")
+
+    val obsW = org.apache.spark.sql.Observation()
+    val obsP = org.apache.spark.sql.Observation()
+    val viaWindow = graft.ops.Dedup.simhashPairs(docs, maxDist = 16, maxBucket = 10,
+        suppressed = Some(obsW))
+      .as[(String, String, Int)].collect().toSet
+    val viaPrefilter = graft.ops.Dedup.simhashPairs(docs, maxDist = 16, maxBucket = 10,
+        suppressed = Some(obsP), hotKeyPrefilter = true)
+      .as[(String, String, Int)].collect().toSet
+    assert(viaPrefilter == viaWindow && viaWindow.nonEmpty)
+    assert(obsP.get == obsW.get &&
+      obsW.get("suppressed_buckets").asInstanceOf[Long] > 0L)
+
+    val sigs = graft.ops.Dedup.minhashSignatures(docs, bands = 4, shingleK = 5)
+    val obsLW = org.apache.spark.sql.Observation()
+    val obsLP = org.apache.spark.sql.Observation()
+    val lshW = graft.ops.Dedup.lshCandidatePairs(sigs, maxBucket = 10,
+        suppressed = Some(obsLW))
+      .as[(String, String)].collect().toSet
+    val lshP = graft.ops.Dedup.lshCandidatePairs(sigs, maxBucket = 10,
+        suppressed = Some(obsLP), hotKeyPrefilter = true)
+      .as[(String, String)].collect().toSet
+    assert(lshP == lshW && lshW.nonEmpty)
+    assert(obsLP.get == obsLW.get &&
+      obsLW.get("suppressed_buckets").asInstanceOf[Long] > 0L)
+  }
+
   test("dedup ops are partitioning-independent (1 vs 7 partitions)") {
     val ss = spark; import ss.implicits._
     // shuffle-order independence: the same corpus at different input
