@@ -279,6 +279,14 @@ object NearDupStream {
       s"appendToIndex: no committed index at $path — buildIndex first"))
     val m = readManifest(fs, root, cur)
     val blocks = blockRows(batch, m.nBlocks, idCol, textCol)
+    // a batch whose id column differs in type from the committed
+    // segments would write a segment the manifest schema can't describe
+    // — fail loudly at append time, not at some later load
+    val newSchema = blocks.withColumn("nblocks", lit(m.nBlocks)).schema
+    require(newSchema.map(f => (f.name, f.dataType)) ==
+        m.segSchema.map(f => (f.name, f.dataType)),
+      s"appendToIndex: batch block schema ${newSchema.simpleString} != " +
+        s"index segment schema ${m.segSchema.simpleString}")
     val batchCounts = blocks.groupBy(col("blk"), col("key")).agg(count(lit(1)).as("bn"))
     val merged = readCounts(spark, root, cur).as("o")
       .join(batchCounts.as("b"), Seq("blk", "key"), "full_outer")

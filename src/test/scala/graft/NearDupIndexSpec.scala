@@ -174,5 +174,12 @@ class NearDupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       NearDupStream.appendToIndex(corpus(5, 1000), s"$base/nothere")
     }
     assert(e.getMessage.contains("buildIndex first"))
+    // an append whose id TYPE diverges from the committed segments fails
+    // loudly at append time, not at some later load
+    val badBatch = spark.range(3).selectExpr("id AS doc_id", "'text body' AS text")
+    val te = intercept[IllegalArgumentException] {
+      NearDupStream.appendToIndex(badBatch, p)
+    }
+    assert(te.getMessage.contains("segment schema"))
   }
 }
