@@ -199,8 +199,13 @@ object SparkEntry {
           sha2(col("xml"), 256).as("xml_sha"))
     }),
 
+    "x_figure_mask" -> ((s, dir) => figureMaskQuery(s, dir)),
+
     // ---- relational operator families (oracle-gated) ----------------------
     "q_reading_order" -> ((s, dir) => readingOrderOracleQuery(s, dir)),
+    "q_split_spread" -> ((s, dir) => splitSpreadOracleQuery(s, dir)),
+    "q_figure_mask" -> ((s, dir) => figureMaskOracleQuery(s, dir)),
+    "q_frame_plan" -> ((s, dir) => framePlanOracleQuery(s, dir)),
     "q_phash_dedup" -> ((s, dir) => phashOracleQuery(s, dir)),
     "q_media_meta" -> ((s, dir) => mediaOracleQuery(s, dir)),
     // corpus-statistics-informed quality scoring: the corpus' own trigram
@@ -398,6 +403,100 @@ object SparkEntry {
              FROM documents d, (SELECT unnest(range(0, 8)) AS i) i
            )
          ) GROUP BY doc_id""",
+    "q_split_spread" ->
+      // relational replay of the two-stage trim + center split + naming
+      // + renumber (split_spread.py:79-109, :174-216, :219-355, :358-391)
+      """WITH pages AS (
+           SELECT doc_id, p, printf('page_%04d.png', p) AS page_name,
+                  CAST(1000 + (doc_id*31 + p*17) % 800 AS INT) AS w,
+                  CAST(800 + (doc_id*13 + p*29) % 600 AS INT) AS h
+           FROM (SELECT doc_id, unnest(range(1, 4)) AS p FROM documents)),
+         g AS (
+           SELECT *, CAST(floor(w * 0.04) AS BIGINT) AS gl,
+                  CAST(floor(h * 0.03) AS BIGINT) AS gt,
+                  w - CAST(floor(w * 0.01) AS BIGINT) AS gr,
+                  h - CAST(floor(h * 0.02) AS BIGINT) AS gb
+           FROM pages),
+         sp AS (
+           SELECT *, CAST(floor((gr - gl) / 2) AS BIGINT) AS midx,
+                  CAST(floor(CAST(floor((gr - gl) / 2) AS BIGINT) * 0.02) AS BIGINT) AS lo,
+                  CAST(floor(CAST(floor((gr - gl) / 2) AS BIGINT) * 0.015) AS BIGINT) AS li,
+                  CAST(floor(CAST(floor((gr - gl) / 2) AS BIGINT) * 0.025) AS BIGINT) AS ri,
+                  CAST(floor(CAST(floor((gr - gl) / 2) AS BIGINT) * 0.01) AS BIGINT) AS ro
+           FROM g WHERE doc_id % 5 <> 0),
+         outp AS (
+           SELECT doc_id, page_name, printf('page_%04d_L.png', p) AS out_name,
+                  'L' AS side, gl + lo AS crop_l, gt AS crop_t,
+                  gl + midx + 8 - li AS crop_r, gb AS crop_b
+           FROM sp
+           UNION ALL
+           SELECT doc_id, page_name, printf('page_%04d_R.png', p) AS out_name,
+                  'R' AS side, gl + midx - 8 + ri AS crop_l, gt AS crop_t,
+                  gr - ro AS crop_r, gb AS crop_b
+           FROM sp
+           UNION ALL
+           SELECT doc_id, page_name, page_name AS out_name,
+                  'single' AS side, gl AS crop_l, gt AS crop_t,
+                  gr AS crop_r, gb AS crop_b
+           FROM g WHERE doc_id % 5 = 0)
+         SELECT doc_id, page_name, out_name, side,
+                CAST(crop_l AS INT) AS crop_l, CAST(crop_t AS INT) AS crop_t,
+                CAST(crop_r AS INT) AS crop_r, CAST(crop_b AS INT) AS crop_b,
+                CAST(crop_r - crop_l AS INT) AS out_w,
+                CAST(crop_b - crop_t AS INT) AS out_h,
+                printf('page_%04d.png',
+                  row_number() OVER (PARTITION BY doc_id ORDER BY out_name)) AS final_name
+         FROM outp ORDER BY doc_id, out_name""",
+    "q_figure_mask" ->
+      // relational replay of mask_figures/mask_figure_regions selection,
+      // clamp survival, and the overlap-counted drawn (corner-INCLUSIVE)
+      // / pasted (half-open) pixel sums on a 960x1280 page
+      """WITH rr AS (
+           SELECT doc_id,
+                  CASE (v % 6) WHEN 0 THEN 'TITLE' WHEN 1 THEN 'TEXT'
+                       WHEN 2 THEN 'CAPTION' WHEN 3 THEN 'FIGURE'
+                       WHEN 4 THEN 'TABLE' ELSE 'FOOTNOTE' END AS kind,
+                  (v * 7) % 1000 - 40 AS x1, (v * 13) % 1300 - 40 AS y1,
+                  (v * 7) % 1000 - 40 + 20 + (v * 3) % 260 AS x2,
+                  (v * 13) % 1300 - 40 + 15 + (v * 11) % 200 AS y2
+           FROM (SELECT doc_id, doc_id * 53 + i.i * 97 AS v
+                 FROM documents, (SELECT unnest(range(0, 10)) AS i) i))
+         SELECT doc_id,
+                CAST(sum(CASE WHEN kind = 'FIGURE' THEN 1 ELSE 0 END) AS INT) AS n_figures,
+                CAST(sum(CASE WHEN kind = 'FIGURE' AND greatest(x1, 0) < least(x2, 960)
+                              AND greatest(y1, 0) < least(y2, 1280)
+                         THEN 1 ELSE 0 END) AS INT) AS n_masked,
+                CAST(sum(CASE WHEN kind = 'FIGURE' THEN
+                    greatest(least(x2 + 1, 960) - greatest(x1, 0), 0)
+                    * greatest(least(y2 + 1, 1280) - greatest(y1, 0), 0)
+                    ELSE 0 END) AS BIGINT) AS masked_px_sum,
+                CAST(sum(CASE WHEN kind IN ('TEXT','TITLE','CAPTION','FOOTNOTE') THEN
+                    greatest(least(x2, 960) - greatest(x1, 0), 0)
+                    * greatest(least(y2, 1280) - greatest(y1, 0), 0)
+                    ELSE 0 END) AS BIGINT) AS visible_px_sum
+         FROM rr GROUP BY doc_id ORDER BY doc_id""",
+    "q_frame_plan" ->
+      // relational replay of the ffmpeg fps=1/2.0 sampling plan over
+      // 30fps sources: frame_%04d.png naming, t=ord0*interval
+      // timestamps, round-to-nearest source index clamped to the tail
+      """WITH m AS (
+           SELECT doc_id, k, 'fig_' || doc_id || '_' || k AS media_ref,
+                  CAST(1 + (doc_id * 5 + k) % 240 AS INT) AS n_frames
+           FROM (SELECT doc_id, unnest(range(0, CAST(doc_id % 4 AS BIGINT))) AS k
+                 FROM documents WHERE doc_id < 300 AND doc_id % 4 > 0)
+           WHERE (doc_id + k) % 3 = 0),
+         f AS (
+           SELECT doc_id, media_ref, n_frames,
+                  unnest(range(1, greatest(CAST(ceil(n_frames / 30.0 / 2.0) AS BIGINT), 1) + 1))
+                    AS frame_ord
+           FROM m)
+         SELECT doc_id, media_ref, frame_ord,
+                printf('frame_%04d.png', frame_ord) AS frame_name,
+                (frame_ord - 1) * 2.0 AS ts_sec,
+                CAST(least(n_frames - 1,
+                  CAST(floor((frame_ord - 1) * 2.0 * 30.0 + 0.5) AS BIGINT)) AS INT)
+                  AS src_frame_idx
+         FROM f ORDER BY doc_id, media_ref, frame_ord""",
     "q_phash_dedup" ->
       // the sequential keep-vs-last-kept pass replayed as a recursive CTE:
       // each step keeps the next frame at hamming >= 8 from the LAST KEPT
@@ -795,6 +894,104 @@ object SparkEntry {
       .as[(Long, Seq[(Int, Long)])]
       .map { case (id, fs) => (id, fs.length, PhashDedup.dedupe(fs).length) }
       .toDF("doc_id", "n_frames", "n_unique")
+  }
+
+  /** Deterministic page table for the split-spread oracle: 3 pages per
+    * doc with arithmetic dims both engines rebuild (odd/even widths
+    * exercise the mid_x floor). */
+  private def splitPages(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), explode(sequence(lit(1L), lit(3L))).as("p"))
+      .select(col("doc_id"), col("p"),
+        format_string("page_%04d.png", col("p")).as("page_name"),
+        (lit(1000) + (col("doc_id") * 31 + col("p") * 17) % 800).cast("int").as("width"),
+        (lit(800) + (col("doc_id") * 13 + col("p") * 29) % 600).cast("int").as("height"))
+
+  /** Trim sweep used by the oracle — every stage of the two-stage trim
+    * non-zero, plus a gutter overlap. */
+  private val SplitCfg = graft.layout.SplitSpread.TrimConfig(
+    globalTop = 0.03, globalBottom = 0.02, globalLeft = 0.04, globalRight = 0.01,
+    leftPageOuter = 0.02, leftPageInner = 0.015,
+    rightPageInner = 0.025, rightPageOuter = 0.01)
+
+  /** Oracle-gated split-spread crop plan ([[graft.layout.SplitSpread]]):
+    * docs with doc_id % 5 != 0 run SPREAD mode (L/R split + both trim
+    * stages + overlap), the rest SINGLE (global trim + pass-through) —
+    * both reference branches (split_spread.py:219-355) under one hash
+    * gate including naming and the sequential renumber. */
+  private def splitSpreadOracleQuery(s: SparkSession, dir: String): DataFrame = {
+    val pages = splitPages(s, dir)
+    val spread = graft.layout.SplitSpread.splitPlan(
+      pages.where(col("doc_id") % 5 =!= 0), "spread", SplitCfg, overlapPx = 8)
+    val single = graft.layout.SplitSpread.splitPlan(
+      pages.where(col("doc_id") % 5 === 0), "single", SplitCfg, overlapPx = 0)
+    spread.unionByName(single).orderBy(col("doc_id"), col("out_name"))
+  }
+
+  /** Deterministic per-doc region set for the mask queries: 10 regions
+    * on a 960x1280 page, coordinates deliberately overshooting the page
+    * (and going negative) so the clamp/clip semantics are in the gate. */
+  private def maskRegions(id: Long): Seq[Region] = {
+    val kinds = Vector("TITLE", "TEXT", "CAPTION", "FIGURE", "TABLE", "FOOTNOTE")
+    (0 until 10).map { i =>
+      val v = id * 53 + i * 97
+      val x1 = ((v * 7) % 1000).toInt - 40
+      val y1 = ((v * 13) % 1300).toInt - 40
+      Region(kinds((v % 6).toInt), x1, y1,
+        x1 + 20 + ((v * 3) % 260).toInt, y1 + 15 + ((v * 11) % 200).toInt, 1.0)
+    }
+  }
+
+  /** Oracle-gated figure-mask geometry ([[graft.layout.FigureMask]]):
+    * FIGURE selection (mask_figures), page clamp survival
+    * (mask_figure_regions), and the overlap-counted drawn/pasted pixel
+    * sums — everything SQL can re-express. The pixel UNIONS (what the
+    * reference's canvas measures) are non-relational and gated by
+    * x_figure_mask's pinned digest + FigureMaskSpec's differential. */
+  private def figureMaskOracleQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.layout.FigureMask
+    s.read.parquet(s"$dir/documents.parquet").select(col("doc_id")).as[Long].map { id =>
+      val regions = maskRegions(id)
+      val figs = FigureMask.figureRegions(regions)
+      val clamped = FigureMask.clampFigureRects(960, 1280, figs)
+      val drawnSum = figs.map(r =>
+        FigureMask.drawnPxRect(960, 1280, r.x1, r.y1, r.x2, r.y2).area).sum
+      val pastedSum = regions.filter(r => FigureMask.DefaultTextTypes.contains(r.kind))
+        .map(r => FigureMask.pastedPxRect(960, 1280, r.x1, r.y1, r.x2, r.y2).area).sum
+      (id, figs.length, clamped.length, drawnSum, pastedSum)
+    }.toDF("doc_id", "n_figures", "n_masked", "masked_px_sum", "visible_px_sum")
+      .orderBy(col("doc_id"))
+  }
+
+  /** The full mask replay including the pixel UNIONS
+    * ([[graft.layout.FigureMask.maskStats]]) — rows + pinned digest. */
+  private def figureMaskQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(s"$dir/documents.parquet").select(col("doc_id")).as[Long].map { id =>
+      val st = graft.layout.FigureMask.maskStats(960, 1280, maskRegions(id))
+      (id, st.nFigures, st.nMasked, st.maskedPx, st.visiblePx,
+        math.rint(st.maskRatio * 1e6) / 1e6)
+    }.toDF("doc_id", "n_figures", "n_masked", "masked_px", "visible_px", "mask_ratio")
+  }
+
+  /** Oracle-gated ffmpeg frame-sampling plan
+    * ([[graft.multimodal.Media.framePlan]]): video metadata derived
+    * relationally (same arithmetic family as q_media_meta), sampled at
+    * fps=1/2.0 over 30 fps sources — output naming, timestamps and
+    * round-to-nearest source indices under the hash gate. */
+  private def framePlanOracleQuery(s: SparkSession, dir: String): DataFrame = {
+    val meta = s.read.parquet(s"$dir/documents.parquet")
+      .where(col("doc_id") < 300 && col("doc_id") % 4 > 0)
+      .select(col("doc_id"), explode(sequence(lit(0L), col("doc_id") % 4 - 1)).as("k"))
+      .where((col("doc_id") + col("k")) % 3 === 0)
+      .select(col("doc_id"),
+        concat(lit("fig_"), col("doc_id"), lit("_"), col("k")).as("media_ref"),
+        lit("video").as("media_kind"),
+        (lit(1) + (col("doc_id") * 5 + col("k")) % 240).cast("int").as("n_frames"),
+        lit(true).as("ok"))
+    graft.multimodal.Media.framePlan(meta, intervalSec = 2.0, srcFps = 30.0)
+      .orderBy(col("doc_id"), col("media_ref"), col("frame_ord"))
   }
 
   private def phashQuery(s: SparkSession, dir: String): DataFrame = {

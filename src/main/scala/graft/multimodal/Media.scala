@@ -68,6 +68,36 @@ object Media {
         explode(sequence(lit(0), greatest(col("n_frames") - 1, lit(0)), lit(stride))))
       .select(col("doc_id"), col("media_ref"), col("frame_idx"))
 
+  /** The SURVEY §2.1 "frame extraction" operator as a distributed plan:
+    * the reference shells out to `ffmpeg -vf fps=1/interval` and writes
+    * `frame_%04d.png` (src/preprocessing/frames.py:8-46). The DECODE is
+    * the stub boundary (ffmpeg/codecs absent here — in production the
+    * executor hands (media bytes, src_frame_idx) to the codec); the PLAN
+    * is exact and oracle-gated (q_frame_plan): one output row per
+    * sampled frame with
+    *  - `frame_ord` / `frame_name`: ffmpeg's 1-based `frame_%04d.png`
+    *  - `ts_sec` = ord0 * interval (the fps filter emits one frame per
+    *    output period, first at t=0; n_out = ceil(duration / interval))
+    *  - `src_frame_idx` = round-to-nearest source frame at that
+    *    timestamp, clamped to n_frames-1 (the fps filter's default
+    *    `round=near` selection; exact codec tie-breaking on duplicated/
+    *    dropped timestamps is part of the stub boundary)
+    *
+    * Pure Column arithmetic over the media-metadata table — narrow, no
+    * shuffle, codegen throughout. */
+  def framePlan(meta: DataFrame, intervalSec: Double, srcFps: Double): DataFrame = {
+    require(intervalSec > 0 && srcFps > 0, "intervalSec and srcFps must be positive")
+    val nOut = greatest(ceil(col("n_frames") / srcFps / intervalSec), lit(1L))
+    meta.where(col("media_kind") === "video" && col("ok"))
+      .withColumn("frame_ord", explode(sequence(lit(1L), nOut)))
+      .select(col("doc_id"), col("media_ref"), col("frame_ord"),
+        format_string("frame_%04d.png", col("frame_ord")).as("frame_name"),
+        ((col("frame_ord") - 1) * intervalSec).as("ts_sec"),
+        least(col("n_frames") - 1,
+          floor((col("frame_ord") - 1) * intervalSec * srcFps + 0.5)).cast("int")
+          .as("src_frame_idx"))
+  }
+
   /** Synthetic media table derived from the corpus figure spans. */
   def syntheticMedia(spark: SparkSession, docs: Dataset[graft.model.InputDoc]): Dataset[MediaRow] = {
     import spark.implicits._
