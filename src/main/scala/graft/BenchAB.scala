@@ -112,6 +112,44 @@ object BenchAB {
             .withColumn("doc_id", org.apache.spark.sql.functions.col("doc_id").cast("string")),
           maxDist = 16, hotKeyPrefilter = true),
         identical = false),
+      // r6: the whole-page-vote similarity matrix with the full difflib
+      // matcher on EVERY pair vs the shipped equal-text short-circuit
+      // (ratio of identical sequences is provably 1.0 — property-pinned
+      // in EnsembleSpec). Same (base, base, degraded) engine triplet the
+      // x_ensemble_vote gate uses; outputs are value-identical, only the
+      // n self-pairs + verbatim-agreement pairs skip the quadratic pass.
+      "ensemble_fullmatrix_vs_shortcut" -> Pair(
+        ensembleMatrixQuery(useShortcut = false),
+        ensembleMatrixQuery(useShortcut = true),
+        identical = false),
+      // r6: the legacy q_phash_dedup frame-hash generation (explode 60
+      // idx x 60 bits -> partial-agg sum -> collect_list: two exchanges,
+      // 18M intermediate rows at sf0.1) vs the shipped in-row nested-HOF
+      // shape (zero exchanges). Values identical — the oracle hash gate
+      // runs on the shipped shape.
+      "phash_explode_vs_inrow" -> Pair(
+        (s: SparkSession, dir: String) => {
+          import org.apache.spark.sql.functions._
+          import s.implicits._
+          val docs = s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"))
+          val frames = docs
+            .select(col("doc_id"), explode(sequence(lit(1), lit(60))).as("idx"))
+            .select(col("doc_id"), col("idx"), explode(sequence(lit(0), lit(59))).as("b"))
+            .withColumn("base",
+              (col("doc_id") * (col("b") + 3) + expr("idx div 5") * (col("b") + 11)) % 7 < 3)
+            .withColumn("noise", (col("doc_id") + col("idx") * 17 + col("b") * 29) % 40 === 0)
+            .groupBy(col("doc_id"), col("idx"))
+            .agg(sum(when(col("base") =!= col("noise"),
+              expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0L)).as("h"))
+          frames
+            .groupBy(col("doc_id"))
+            .agg(sort_array(collect_list(struct(col("idx"), col("h")))).as("fs"))
+            .as[(Long, Seq[(Int, Long)])]
+            .map { case (id, fs) => (id, fs.length, graft.pipeline.PhashDedup.dedupe(fs).length) }
+            .toDF("doc_id", "n_frames", "n_unique")
+        },
+        SparkEntry.queries("q_phash_dedup"),
+        identical = false),
       // r5: five-regex language-ID vs the single-pass codegen expression
       "langid_regex_vs_codegen" -> Pair(
         (s: SparkSession, dir: String) => {
@@ -162,6 +200,31 @@ object BenchAB {
           .rareTrigramScoresScaleFree(s.read.parquet(s"$dir/documents.parquet")),
         identical = false)
     )
+  }
+
+  /** The x_ensemble_vote similarity-matrix kernel: per doc, the 3x3
+    * engine matrix over (base, base, degraded) texts. `useShortcut=false`
+    * forces the full quadratic matcher on every pair (the pre-r6b cost);
+    * `true` is the shipped [[graft.vote.Ensemble.calculateSimilarity]].
+    * Both emit the (value-identical) similarity sum so the A/B also
+    * re-proves parity at bench scale. */
+  private def ensembleMatrixQuery(useShortcut: Boolean): Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val base = text.take(240)
+        val degraded = base.replaceAll("[aeiouあい]", "")
+        val texts = Vector(base, base, degraded)
+        var sim = 0.0
+        for (t1 <- texts; t2 <- texts)
+          sim += (if (useShortcut) graft.vote.Ensemble.calculateSimilarity(t1, t2)
+            else if (t1.isEmpty && t2.isEmpty) 1.0
+            else if (t1.isEmpty || t2.isEmpty) 0.0
+            else graft.text.SeqRatio.ratio(t1, t2))
+        (id, math.rint(sim * 1e6) / 1e6)
+      }).toDF("doc_id", "sim_sum")
   }
 
   def main(args: Array[String]): Unit = {

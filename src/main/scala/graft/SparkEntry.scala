@@ -874,27 +874,43 @@ object SparkEntry {
     * replays the sequential pass as a recursive CTE — promoting the
     * x_phash_dedup rows-gate to rows+schema+hash (reference semantics:
     * src/preprocessing/deduplicate.py:9-66). */
+  /** Frame-hash generation is IN-ROW: bit b of frame idx = base-scene
+    * predicate XOR sparse noise predicate, computed in a primitive JVM
+    * loop inside the typed map that already runs the stateful dedupe —
+    * zero exchanges where the original explode(60)×explode(60) shape
+    * paid two shuffles and an 18M-row expansion at sf0.1. Per-doc frame
+    * hashing is naturally row-local; the 100-TB shape is scan → map →
+    * dedupe, and this is it. Measured, not assumed (BenchAB
+    * phash_explode_vs_inrow): a nested higher-order-function variant
+    * (`transform`+`aggregate`) was 2.9× SLOWER than the exploded shape —
+    * interpreted HOF lambdas lose to whole-stage codegen — while this
+    * JVM-loop shape wins; value-identity is the oracle hash gate itself. */
   private def phashOracleQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"))
-    // relational generation (explode + partial-agg sum) mirrors the SQL:
-    // bit b of frame idx = base-scene predicate XOR sparse noise predicate
-    val frames = docs
-      .select(col("doc_id"), explode(sequence(lit(1), lit(60))).as("idx"))
-      .select(col("doc_id"), col("idx"), explode(sequence(lit(0), lit(59))).as("b"))
-      .withColumn("base",
-        (col("doc_id") * (col("b") + 3) + expr("idx div 5") * (col("b") + 11)) % 7 < 3)
-      .withColumn("noise", (col("doc_id") + col("idx") * 17 + col("b") * 29) % 40 === 0)
-      .groupBy(col("doc_id"), col("idx"))
-      .agg(sum(when(col("base") =!= col("noise"),
-        expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0L)).as("h"))
-    frames
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("idx"), col("h")))).as("fs"))
-      .as[(Long, Seq[(Int, Long)])]
-      .map { case (id, fs) => (id, fs.length, PhashDedup.dedupe(fs).length) }
+    s.read.parquet(s"$dir/documents.parquet").select(col("doc_id")).as[Long]
+      .map { id =>
+        val fs = phashFrames(id)
+        (id, fs.length, PhashDedup.dedupe(fs).length)
+      }
       .toDF("doc_id", "n_frames", "n_unique")
   }
+
+  /** The deterministic 60-frame hash array (shared with BenchAB's A/B
+    * against the legacy exploded shape); integer arithmetic identical to
+    * the DuckDB oracle's BIGINT expressions. */
+  private[graft] def phashFrames(id: Long): Vector[(Int, Long)] =
+    Vector.tabulate(60) { i =>
+      val idx = i + 1
+      var h = 0L
+      var b = 0
+      while (b < 60) {
+        val base = (id * (b + 3) + (idx / 5) * (b + 11)) % 7 < 3
+        val noise = (id + idx * 17 + b * 29) % 40 == 0
+        if (base != noise) h |= 1L << b
+        b += 1
+      }
+      (idx, h)
+    }
 
   /** Deterministic page table for the split-spread oracle: 3 pages per
     * doc with arithmetic dims both engines rebuild (odd/even widths

@@ -120,6 +120,14 @@ object Ensemble {
   def calculateSimilarity(a: String, b: String): Double = {
     if ((a == null || a.isEmpty) && (b == null || b.isEmpty)) return 1.0
     if (a == null || a.isEmpty || b == null || b.isEmpty) return 0.0
+    // equal texts short-circuit the quadratic matcher: ratio of identical
+    // sequences is exactly 1.0 even under the autojunk popularity
+    // heuristic (the junk-extension phase of findLongestMatch covers the
+    // whole range; property-pinned vs the full matcher on adversarial
+    // popular-heavy strings in EnsembleSpec). At corpus scale engines
+    // frequently agree verbatim, and the similarity matrix always holds
+    // n self-pairs — this removes whole-matcher runs, not precision.
+    if (a == b) return 1.0
     SeqRatio.ratio(a, b)
   }
 

@@ -185,6 +185,22 @@ class EnsembleSpec extends AnyFunSuite {
     assert(cases == 300)
   }
 
+  test("equal-text shortcut == full matcher: ratio(a,a) is 1.0 even under autojunk") {
+    // the calculateSimilarity a==b short-circuit is sound only if the
+    // FULL matcher returns exactly 1.0 for identical inputs — including
+    // strings where the autojunk popularity heuristic marks every
+    // element junk (>=200 chars, element freq >1%). Pin it adversarially.
+    val rng = new scala.util.Random(99)
+    val adversarial = Seq("a" * 300, "ab" * 150, ("a" * 50 + "b") * 10,
+      "x" * 199, "x" * 200, "hello world " * 40) ++
+      Vector.fill(200)(Vector.fill(1 + rng.nextInt(400))(
+        "abc".charAt(rng.nextInt(3))).mkString)
+    adversarial.foreach { a =>
+      assert(graft.text.SeqRatio.ratio(a, a) == 1.0, s"len ${a.length}")
+      assert(Ensemble.calculateSimilarity(a, a) == 1.0)
+    }
+  }
+
   test("word->line clustering variant (runners.py:89-192)") {
     val words = Seq(
       TextWithBox("界", 50, 98, 60, 118, 0.8),
