@@ -873,8 +873,9 @@ object SparkEntry {
     * operator ([[PhashDedup.dedupe]], threshold 8); the DuckDB oracle
     * replays the sequential pass as a recursive CTE — promoting the
     * x_phash_dedup rows-gate to rows+schema+hash (reference semantics:
-    * src/preprocessing/deduplicate.py:9-66). */
-  /** Frame-hash generation is IN-ROW: bit b of frame idx = base-scene
+    * src/preprocessing/deduplicate.py:9-66).
+    *
+    * Frame-hash generation is IN-ROW: bit b of frame idx = base-scene
     * predicate XOR sparse noise predicate, computed in a primitive JVM
     * loop inside the typed map that already runs the stateful dedupe —
     * zero exchanges where the original explode(60)×explode(60) shape

@@ -88,7 +88,11 @@ object Media {
   def framePlan(meta: DataFrame, intervalSec: Double, srcFps: Double): DataFrame = {
     require(intervalSec > 0 && srcFps > 0, "intervalSec and srcFps must be positive")
     val nOut = greatest(ceil(col("n_frames") / srcFps / intervalSec), lit(1L))
-    meta.where(col("media_kind") === "video" && col("ok"))
+    // n_frames > 0: a real decoder can report a successful decode with
+    // zero frames — ffmpeg's fps filter emits nothing for those, so must
+    // this plan (without the guard the greatest(...,1) floor would emit a
+    // phantom frame with src_frame_idx = -1)
+    meta.where(col("media_kind") === "video" && col("ok") && col("n_frames") > 0)
       .withColumn("frame_ord", explode(sequence(lit(1L), nOut)))
       .select(col("doc_id"), col("media_ref"), col("frame_ord"),
         format_string("frame_%04d.png", col("frame_ord")).as("frame_name"),

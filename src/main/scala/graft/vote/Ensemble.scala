@@ -131,9 +131,15 @@ object Ensemble {
     SeqRatio.ratio(a, b)
   }
 
-  def similarityMatrix(results: Vector[(String, String)]): Map[(String, String), Double] =
+  def similarityMatrix(results: Vector[(String, String)]): Map[(String, String), Double] = {
+    // memo on the TEXT pair: when engines agree verbatim (the common case
+    // at corpus scale), their rows ask the matcher for the same (t1, t2)
+    // — calculateSimilarity is a pure function of the texts, so reuse is
+    // value-identical and the quadratic pass runs once per DISTINCT pair
+    val memo = scala.collection.mutable.HashMap.empty[(String, String), Double]
     (for ((e1, t1) <- results; (e2, t2) <- results)
-      yield (e1, e2) -> calculateSimilarity(t1, t2)).toMap
+      yield (e1, e2) -> memo.getOrElseUpdate((t1, t2), calculateSimilarity(t1, t2))).toMap
+  }
 
   /** vote_best_result (voting.py:165-219): most votes (pairwise sim >=
     * threshold), tie-break avg similarity, no-agreement falls back to the

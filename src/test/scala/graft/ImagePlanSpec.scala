@@ -85,7 +85,8 @@ class ImagePlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("d1", "v2", "video", 1, true),     // shorter than one interval -> 1 frame
       ("d1", "v3", "video", 61, true),    // 2.03s -> ceil -> 2 frames
       ("d2", "i1", "image", 1, true),     // not a video -> excluded
-      ("d2", "v4", "video", 100, false))  // decode failed -> excluded
+      ("d2", "v4", "video", 100, false),  // decode failed -> excluded
+      ("d2", "v5", "video", 0, true))     // zero frames decode ok -> ffmpeg emits nothing
       .toDF("doc_id", "media_ref", "media_kind", "n_frames", "ok")
     val rows = graft.multimodal.Media.framePlan(meta, intervalSec = 2.0, srcFps = 30.0)
       .orderBy("media_ref", "frame_ord").collect()

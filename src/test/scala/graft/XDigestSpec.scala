@@ -48,9 +48,9 @@ class XDigestSpec extends AnyFunSuite with BeforeAndAfterAll {
     "x_embed_neardup" -> ((442L, "b063f86f60a8461b4c4e31ca066136c158a8e1b179baa489a3e50c8fcd305564")),
     "x_ensemble_vote" -> ((500L, "0e6cf74f4eecc48c5ba90fae65c5d90c725942c0fcb32e495e59f20d9e24985a")),
     "x_extract_docs" -> ((200L, "b93660b57507dbc0ba2331a3791137a67f68a1ea06c7ccaa97347f075f208c31")),
-    "x_figure_mask" -> ((500L, "a7723c772264ed6622e030071ed4530dcc426d3937e7ab04ca8c085fb90922e5")),
     "x_extract_relational" -> ((31431L, "07a99ecb0e5fb630ecd6901aab55da27a0ea709c62cf77e302cca9001eaebcdc")),
     "x_extract_spans" -> ((31431L, "10bc6b5a7df5b8e5976242d10d214dc6f8c2780d77bcbdd24c6cdcda91dfc9f7")),
+    "x_figure_mask" -> ((500L, "a7723c772264ed6622e030071ed4530dcc426d3937e7ab04ca8c085fb90922e5")),
     "x_grouped_spans" -> ((749L, "e12a3c981c81b784c79ca569433bfffade99b658c73604d590505a6e9e960893")),
     "x_grouped_xml" -> ((200L, "366fa65c0e3a07a12818db18f34417c0d85a6a94f2ad1acd69f98603cbc084bd")),
     "x_media_meta" -> ((1315L, "849dadb72ff4abdd9cb255f9bc18fbe0b1aeb5450385de99a08d5b0b0f19e9c4")),
@@ -72,9 +72,9 @@ class XDigestSpec extends AnyFunSuite with BeforeAndAfterAll {
     "x_embed_neardup" -> ((7126L, "8e6663a4d72270d3173e13fad7b79fcb8f9f2e5a649e4b28d60c70d7bb7c9f40")),
     "x_ensemble_vote" -> ((5000L, "702a8459492304d5b90092c9941740d9036ea922fd1555cbed874b5b62ccda07")),
     "x_extract_docs" -> ((2000L, "919b87c3c9b2e4cc6a8d1fd6f79d86040d0763ea8702983fc590ec57e9e31725")),
-    "x_figure_mask" -> ((5000L, "3d17e155301665eb29ad199a89d9dc02e22a6182792907c2b993ef2a55263329")),
     "x_extract_relational" -> ((358348L, "d5ac4514161eab4c9583e2623b7ea68d498e70ea076365b273eb826614860f7f")),
     "x_extract_spans" -> ((358348L, "5a4f713b50fdcfcac4c50c6cbe55ca38d901bc1a7bb546a123db2a7a615d7c69")),
+    "x_figure_mask" -> ((5000L, "3d17e155301665eb29ad199a89d9dc02e22a6182792907c2b993ef2a55263329")),
     "x_grouped_spans" -> ((11529L, "c2936db19f278f800579dcc4a47c9980ed258b228eb30665a7fc98ab3b80c5c4")),
     "x_grouped_xml" -> ((2000L, "2f4a8c6f4569dc38ba578f34b191ac095266a1334ed1a36b4481a835375aa185")),
     "x_media_meta" -> ((14765L, "273669bf9554dfcbc94c7ff4beebe3aacd3420fd683df934a1793c293898bb2c")),
