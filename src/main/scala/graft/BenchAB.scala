@@ -122,6 +122,15 @@ object BenchAB {
         ensembleMatrixQuery(useShortcut = false),
         ensembleMatrixQuery(useShortcut = true),
         identical = false),
+      // r6: ROVER char alignment with the quadratic matcher forced on
+      // verbatim-equal engine texts (the pre-shortcut cost on clean
+      // lines) vs the shipped Arrays.equals shortcut. Values identical —
+      // RoverSpec pins the property and the x_rover_vote digests are
+      // unchanged.
+      "rover_align_fullmatcher_vs_shortcut" -> Pair(
+        roverAlignQuery(eqShortcut = false),
+        roverAlignQuery(eqShortcut = true),
+        identical = false),
       // r6: the legacy q_phash_dedup frame-hash generation (explode 60
       // idx x 60 bits -> partial-agg sum -> collect_list: two exchanges,
       // 18M intermediate rows at sf0.1) vs the shipped in-row nested-HOF
@@ -209,6 +218,25 @@ object BenchAB {
     * NOTE: the harness only times `.count()` — it does NOT compare the
     * emitted values; value parity of the shortcut rests on the
     * EnsembleSpec property pin (ratio(a,a) == 1.0 under autojunk). */
+  /** The x_rover_vote alignment kernel on its dominant input class:
+    * three engines agreeing verbatim on each line (clean-OCR common
+    * case; exactly what the gate's synthetic triplet produces).
+    * `eqShortcut=false` forces the full quadratic matcher per engine
+    * pair — the pre-r6 cost. Only `.count()` is timed; value parity
+    * rests on the RoverSpec shortcut==full property pin. */
+  private def roverAlignQuery(eqShortcut: Boolean): Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val line = text.take(160)
+        val texts = Vector("yomitoku" -> line, "paddleocr" -> line, "easyocr" -> line)
+        val pos = graft.vote.Rover.alignTextsCharacterLevel(texts, eqShortcut)
+        (id, pos.length)
+      }).toDF("doc_id", "n_positions")
+  }
+
   private def ensembleMatrixQuery(useShortcut: Boolean): Q = (s, dir) => {
     import s.implicits._
     import org.apache.spark.sql.functions.col

@@ -179,7 +179,10 @@ object Rover {
       confidences: Map[String, Double]
   )
 
-  def alignTextsCharacterLevel(texts: Vector[(String, String)]): Vector[AlignedPosition] = {
+  def alignTextsCharacterLevel(
+      texts: Vector[(String, String)],
+      eqShortcut: Boolean = true // false only for the BenchAB pre-shortcut baseline
+  ): Vector[AlignedPosition] = {
     // python strings are CODE-POINT sequences: lengths, max-by-len base
     // selection, and per-position indexing all count code points (𠮷 is
     // one position, not two UTF-16 units)
@@ -210,7 +213,19 @@ object Rover {
           else candidates(i) += ((engine, v))
           confidences(i)(engine) = conf
         }
-        SeqRatio.opcodesCp(baseCps, cps).foreach {
+        // Equal-text shortcut: when this engine's code points match the
+        // base exactly, the quadratic matcher is skipped. Bit-identical
+        // by the pinned ratio(a,a)==1.0 property (EnsembleSpec): total
+        // matched size == n means the matching blocks cover BOTH
+        // sequences completely, so every opcode is "equal" with i1==j1 —
+        // exactly the single opcode substituted here. At corpus scale
+        // engines frequently agree verbatim on clean lines, making this
+        // the common case of the per-page vote's hottest inner loop.
+        val ops =
+          if (eqShortcut && java.util.Arrays.equals(baseCps, cps))
+            Vector(SeqRatio.Opcode("equal", 0, baseCps.length, 0, cps.length))
+          else SeqRatio.opcodesCp(baseCps, cps)
+        ops.foreach {
           case SeqRatio.Opcode("equal", i1, i2, j1, _) =>
             var k = 0
             while (k < i2 - i1) { put(i1 + k, Some(cpStr(cps(j1 + k))), 1.0); k += 1 }

@@ -69,6 +69,28 @@ class SeqRatioSpec extends AnyFunSuite {
     }
   }
 
+  test("alignment equal-text shortcut is bit-identical to the full matcher") {
+    // adversarial inputs: verbatim-equal engines (shortcut fires),
+    // popular-heavy strings long enough to trip the autojunk heuristic
+    // (>200 cps, one char >1% — the case where opcode FRAGMENTATION would
+    // be most plausible), astral code points, and mixed equal/unequal
+    // engine sets where only SOME pairs take the shortcut
+    val popular = ("ab" * 150) + "xyz" + ("ab" * 40)
+    val cases = Seq(
+      Vector("yomitoku" -> "同じ行のテキスト", "paddleocr" -> "同じ行のテキスト",
+        "easyocr" -> "同じ行のテキスト"),
+      Vector("yomitoku" -> popular, "paddleocr" -> popular, "easyocr" -> popular),
+      Vector("yomitoku" -> "𠮷野家で𩸽", "paddleocr" -> "𠮷野家で𩸽",
+        "easyocr" -> "吉野家て𩸽"),
+      Vector("yomitoku" -> popular, "paddleocr" -> popular.drop(7),
+        "easyocr" -> popular))
+    cases.foreach { texts =>
+      val fast = graft.vote.Rover.alignTextsCharacterLevel(texts)
+      val full = graft.vote.Rover.alignTextsCharacterLevel(texts, eqShortcut = false)
+      assert(fast == full, s"shortcut diverged on ${texts.map(_._2.take(20))}")
+    }
+  }
+
   test("ratio + opcodes match difflib goldens (incl. autojunk case)") {
     Fixtures.resourceLines("/fixtures/seqratio.golden.tsv").foreach { line =>
       val f = line.split("\t", -1)
