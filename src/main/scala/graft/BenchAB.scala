@@ -122,6 +122,17 @@ object BenchAB {
         ensembleMatrixQuery(useShortcut = false),
         ensembleMatrixQuery(useShortcut = true),
         identical = false),
+      // r6: the substring-span dedup's hash-family seam — the oracle
+      // md5 family (32-char hex per window in the hash shuffle) vs the
+      // production xxhash64 (codegen, 8 bytes). One hash per character
+      // of the corpus, so this pair bounds the op's dominant cost.
+      // Span sets are identical mod 64-bit collisions (spec-pinned).
+      "dupspans_md5_vs_xxhash64" -> Pair(
+        (s: SparkSession, dir: String) => graft.ops.Dedup.duplicateSpans(
+          s.read.parquet(s"$dir/documents.parquet"), k = 8),
+        (s: SparkSession, dir: String) => graft.ops.Dedup.duplicateSpans(
+          s.read.parquet(s"$dir/documents.parquet"), k = 8, hashFamily = "xxhash64"),
+        identical = false),
       // r6: ROVER char alignment with the quadratic matcher forced on
       // verbatim-equal engine texts (the pre-shortcut cost on clean
       // lines) vs the shipped Arrays.equals shortcut. Values identical —

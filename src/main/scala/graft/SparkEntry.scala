@@ -363,6 +363,29 @@ object SparkEntry {
         Dedup.minhashSignatures(docs, bands = 8, shingleK = 8), maxBucket = 50)
       Dedup.ngramJaccard(docs, pairs, n = 3).orderBy(col("doc_a"), col("doc_b"))
     }),
+    "q_dup_spans" -> ((s, dir) =>
+      // exact substring-span dedup (Lee et al. class): maximal spans whose
+      // every 8-char window also occurs in another document
+      Dedup.duplicateSpans(t(s, dir, "documents"), k = 8)
+        .orderBy(col("doc_id"), col("span_start"))),
+    "q_dup_coverage" -> ((s, dir) => {
+      // span-dedup consumer: per-doc duplicated-character ratio (the
+      // "drop mostly-verbatim docs" filter signal). k=32: long windows
+      // isolate true verbatim copying (Lee et al.'s ~50-token windows);
+      // at k=8 every window of this template corpus is shared somewhere
+      // and the ratio saturates at 1.0 (q_dup_spans keeps k=8 to gate
+      // the dense-window island-merge regime)
+      val docs = t(s, dir, "documents")
+      Dedup.duplicateCoverage(docs, Dedup.duplicateSpans(docs, k = 32))
+        .orderBy(col("doc_id"))
+    }),
+    "q_dup_cut" -> ((s, dir) => {
+      // span-dedup consumer #2: cut the duplicated intervals out of the
+      // text (Lee et al.'s actual treatment); k=32 as q_dup_coverage
+      val docs = t(s, dir, "documents")
+      Dedup.cutDuplicateSpans(docs, Dedup.duplicateSpans(docs, k = 32))
+        .orderBy(col("doc_id"))
+    }),
 
     // ---- similarity search (oracle-gated brute force) ----------------------
     "q_ann_brute" -> ((s, dir) => {
@@ -722,6 +745,113 @@ object SparkEntry {
                       / greatest(len(list_distinct(list_concat(a.ngrams, b.ngrams))), 1), 4) AS jaccard
          FROM pairs p JOIN ng a ON p.doc_a = a.doc_id JOIN ng b ON p.doc_b = b.doc_id
          ORDER BY doc_a, doc_b""",
+    "q_dup_spans" ->
+      """WITH p AS (
+           SELECT doc_id, text, unnest(range(1, length(text) - 6)) AS pos
+           FROM documents),
+         sh AS (
+           SELECT doc_id, pos, md5(substr(text, CAST(pos AS INTEGER), 8)) AS h FROM p),
+         marked AS (
+           SELECT doc_id, pos,
+                  min(doc_id) OVER (PARTITION BY h) AS d_min,
+                  max(doc_id) OVER (PARTITION BY h) AS d_max
+           FROM sh),
+         isl AS (
+           SELECT doc_id, pos,
+                  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+           FROM marked WHERE d_min <> d_max)
+         SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
+                max(pos) - min(pos) + 8 AS span_len
+         FROM isl GROUP BY doc_id, g ORDER BY doc_id, span_start""",
+    "q_dup_coverage" ->
+      """WITH p AS (
+           SELECT doc_id, text, unnest(range(1, length(text) - 30)) AS pos
+           FROM documents),
+         sh AS (
+           SELECT doc_id, pos, md5(substr(text, CAST(pos AS INTEGER), 32)) AS h FROM p),
+         marked AS (
+           SELECT doc_id, pos,
+                  min(doc_id) OVER (PARTITION BY h) AS d_min,
+                  max(doc_id) OVER (PARTITION BY h) AS d_max
+           FROM sh),
+         isl AS (
+           SELECT doc_id, pos,
+                  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+           FROM marked WHERE d_min <> d_max),
+         spans AS (
+           SELECT doc_id, min(pos) AS span_start, max(pos) + 31 AS span_end
+           FROM isl GROUP BY doc_id, g),
+         o AS (
+           SELECT doc_id, span_start, span_end,
+                  max(span_end) OVER (PARTITION BY doc_id ORDER BY span_start, span_end
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+           FROM spans),
+         fl AS (
+           SELECT doc_id, span_start, span_end,
+                  CASE WHEN pmax IS NULL OR span_start > pmax THEN 1 ELSE 0 END AS ni
+           FROM o),
+         ii AS (
+           SELECT doc_id, span_start, span_end,
+                  sum(ni) OVER (PARTITION BY doc_id ORDER BY span_start, span_end
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+           FROM fl),
+         cov AS (
+           SELECT doc_id, sum(chars) AS dup_chars FROM (
+             SELECT doc_id, island, max(span_end) - min(span_start) + 1 AS chars
+             FROM ii GROUP BY doc_id, island) GROUP BY doc_id)
+         SELECT d.doc_id, length(d.text) AS doc_len,
+                CAST(coalesce(c.dup_chars, 0) AS BIGINT) AS dup_chars,
+                round(coalesce(c.dup_chars, 0) * 1.0 / greatest(length(d.text), 1), 4) AS dup_ratio
+         FROM documents d LEFT JOIN cov c ON d.doc_id = c.doc_id ORDER BY d.doc_id""",
+    "q_dup_cut" ->
+      // naive per-character re-expression: a kept character is one whose
+      // position lies in no merged duplicated interval; clean_text is the
+      // ordered string_agg of kept characters (the Spark side cuts with
+      // O(islands) in-row substring slices instead)
+      """WITH p AS (
+           SELECT doc_id, text, unnest(range(1, length(text) - 30)) AS pos
+           FROM documents),
+         sh AS (
+           SELECT doc_id, pos, md5(substr(text, CAST(pos AS INTEGER), 32)) AS h FROM p),
+         marked AS (
+           SELECT doc_id, pos,
+                  min(doc_id) OVER (PARTITION BY h) AS d_min,
+                  max(doc_id) OVER (PARTITION BY h) AS d_max
+           FROM sh),
+         isl AS (
+           SELECT doc_id, pos,
+                  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+           FROM marked WHERE d_min <> d_max),
+         spans AS (
+           SELECT doc_id, min(pos) AS span_start, max(pos) + 31 AS span_end
+           FROM isl GROUP BY doc_id, g),
+         o AS (
+           SELECT doc_id, span_start, span_end,
+                  max(span_end) OVER (PARTITION BY doc_id ORDER BY span_start, span_end
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+           FROM spans),
+         ii AS (
+           SELECT doc_id, span_start, span_end,
+                  sum(CASE WHEN pmax IS NULL OR span_start > pmax THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY doc_id ORDER BY span_start, span_end
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+           FROM o),
+         merged AS (
+           SELECT doc_id, island, min(span_start) AS s, max(span_end) AS e
+           FROM ii GROUP BY doc_id, island),
+         chars AS (
+           SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS pos
+           FROM documents),
+         kept AS (
+           SELECT c.doc_id,
+                  string_agg(substr(c.text, CAST(c.pos AS INTEGER), 1), '' ORDER BY c.pos) AS ct
+           FROM chars c
+           WHERE NOT EXISTS (SELECT 1 FROM merged m
+                             WHERE m.doc_id = c.doc_id AND c.pos BETWEEN m.s AND m.e)
+           GROUP BY c.doc_id)
+         SELECT d.doc_id, coalesce(k.ct, '') AS clean_text
+         FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id
+         ORDER BY d.doc_id""",
     "q_ann_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
                     FROM embeddings WHERE vec_id < 10),

@@ -391,4 +391,172 @@ object Dedup {
       suppressed.fold(result)(observeZeros(result, _))
     else result
   }
+
+  /** Cross-document duplicate-SPAN detection: maximal character spans
+    * whose every k-window also occurs in at least one OTHER document —
+    * the exact-substring dedup class (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better": training corpora carry
+    * long verbatim cross-document substrings that full-document and
+    * near-dup detectors both miss). Where the suffix-array construction
+    * of the paper is a single-machine algorithm, this is the Spark-first
+    * re-expression: hash every k-character window (map-side, in-row),
+    * mark a window duplicated iff its hash partition spans more than one
+    * document (`min(doc) over (partition by hash) != max(doc) over ...`
+    * — ONE shuffle, no join, no distinct-count), then merge runs of
+    * consecutive duplicated start positions per document into maximal
+    * spans (gaps-and-islands: `pos - row_number() over (doc order by
+    * pos)` — second shuffle). A span [s, e] means text[s, e+k-1] is
+    * covered by cross-document k-windows end to end.
+    *
+    * Output: (doc_id, span_start, span_end, span_len), positions
+    * 1-based character (code point) indices, span_len = span_end -
+    * span_start + 1 (>= k by construction). Documents shorter than k
+    * have no windows and are absent. Spans are maximal in window STARTS,
+    * so two spans separated by a short non-duplicated gap (< k) can
+    * overlap in character coverage; a consumer cutting duplicated text
+    * takes the per-doc union of [span_start, span_end] intervals (an
+    * in-row pass over the handful of spans per doc). Output is LINEAR in corpus size (each position
+    * emits at most once) — unlike the pair generators there is no
+    * quadratic bucket expansion, so no maxBucket cap is needed; a
+    * boilerplate window shared by 10^9 documents makes ONE hot hash
+    * partition whose windowed min/max buffer spills
+    * (ExternalAppendOnlyUnsafeRowArray), the same spill-not-OOM contract
+    * as [[cappedBuckets]]. The final groupBy(doc_id, island) reuses the
+    * island window's hash partition on doc_id (subset clustering — no
+    * third exchange; plan-asserted in the spec).
+    *
+    * `hashFamily` seam, same convention as [[minhashSignatures]]:
+    * `"md5"` (default) is DuckDB-reproducible for the oracle gate;
+    * `"xxhash64"` is the production family (codegen, 8-byte hash in the
+    * shuffle instead of a 32-char hex string). A hash collision can mark
+    * a window duplicated that is not; at 64 bits the expected number of
+    * colliding window PAIRS stays below one up to ~5*10^9 distinct
+    * windows (birthday bound), and a rare false window either vanishes
+    * (island shorter than any real span) or extends a real span by one —
+    * an estimator nudge, not a wrong dup GROUP (contrast
+    * [[exactDupGroups]], which stays md5 for exactly that reason). */
+  def duplicateSpans(docs: DataFrame, k: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text",
+      hashFamily: String = "md5"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val (h, sigType): (Column => Column, String) = hashFamily match {
+      case "md5"      => (md5 _, "string")
+      case "xxhash64" => ((c: Column) => xxhash64(c), "bigint")
+      case other => throw new IllegalArgumentException(
+        s"hashFamily must be 'md5' or 'xxhash64', got '$other'")
+    }
+    // compute-heavy map stage (a hash per character of the corpus):
+    // spread small inputs like minhashSignatures does
+    val spread = docs.repartition(
+      docs.sparkSession.sparkContext.defaultParallelism * 2, col(idCol))
+    val text = col(textCol)
+    // in-row: one hash per k-window; the guard keeps sequence() ascending
+    // (sequence(1, 0) would DESCEND) and short docs windowless
+    val windows = when(length(text) >= k,
+      transform(sequence(lit(1), length(text) - (k - 1)),
+        i => h(substring(text, i, lit(k)))))
+      .otherwise(expr(s"CAST(array() AS array<$sigType>)"))
+    val pos = spread
+      .select(col(idCol).as("doc_id"), posexplode(windows).as(Seq("off", "h")))
+      .select(col("doc_id"), (col("off") + 1).cast("long").as("pos"), col("h"))
+    import org.apache.spark.sql.expressions.Window
+    val byHash = Window.partitionBy("h")
+    val dup = pos
+      .withColumn("d_min", min("doc_id").over(byHash))
+      .withColumn("d_max", max("doc_id").over(byHash))
+      .where(col("d_min") =!= col("d_max"))
+      .select("doc_id", "pos")
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    dup
+      .withColumn("island", col("pos") - row_number().over(byDoc))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min("pos").as("span_start"),
+        (max(col("pos")) + lit(k - 1)).as("span_end"),
+        (max(col("pos")) - min(col("pos")) + lit(k)).as("span_len"))
+      .select("doc_id", "span_start", "span_end", "span_len")
+  }
+
+  /** Per-document duplicated-character coverage from
+    * [[duplicateSpans]] output: the character-interval UNION of a doc's
+    * (possibly overlapping) spans, as (doc_id, doc_len, dup_chars,
+    * dup_ratio) — the quality signal a training-data pipeline filters
+    * on ("drop docs that are >x% verbatim copies of other docs").
+    *
+    * Interval union is the classic gaps-and-islands second form: a span
+    * starts a new island iff its start exceeds the running max end of
+    * all preceding spans (`max(span_end) over (doc order by start rows
+    * unbounded preceding to 1 preceding)`), islands are numbered by a
+    * running sum of those flags, and covered chars = sum over islands
+    * of (max end - min start + 1). All three windows and both groupBys
+    * share the doc_id partition — ONE shuffle of the (small) span set
+    * plus the docs join; every document appears (zero spans =>
+    * dup_chars 0), so the output is exactly one row per doc. */
+  def duplicateCoverage(docs: DataFrame, spans: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val covered = mergedIslands(spans)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("e") - col("s") + lit(1)).as("dup_chars"))
+    docs.select(col(idCol).as("doc_id"), length(col(textCol)).cast("long").as("doc_len"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("doc_len"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+        round(coalesce(col("dup_chars"), lit(0L)).cast("double")
+          / greatest(col("doc_len"), lit(1L)), 4).as("dup_ratio"))
+  }
+
+  /** Merge a doc's (possibly overlapping) [span_start, span_end]
+    * intervals into disjoint maximal islands (doc_id, island, s, e) —
+    * the classic gaps-and-islands second form: a span starts a new
+    * island iff its start exceeds the running max end of all preceding
+    * spans. All windows and the groupBy share the doc_id hash partition:
+    * ONE shuffle of the span set. */
+  private def mergedIslands(spans: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy("doc_id").orderBy("span_start", "span_end")
+    val prev = byDoc.rowsBetween(Window.unboundedPreceding, -1)
+    val upTo = byDoc.rowsBetween(Window.unboundedPreceding, 0)
+    spans
+      .withColumn("pmax", max("span_end").over(prev))
+      .withColumn("ni",
+        when(col("pmax").isNull || col("span_start") > col("pmax"), 1L).otherwise(0L))
+      .withColumn("island", sum("ni").over(upTo))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min("span_start").as("s"), max("span_end").as("e"))
+  }
+
+  /** The span-dedup CONSUMER: remove the duplicated character intervals
+    * found by [[duplicateSpans]] from each document's text (the Lee et
+    * al. 2022 treatment — cut the verbatim cross-document substrings,
+    * keep the rest), as (doc_id, clean_text). Every input doc appears;
+    * a doc with no spans keeps its text verbatim, a fully-covered doc
+    * becomes the empty string.
+    *
+    * Shape: merge spans into disjoint islands ([[mergedIslands]], one
+    * shuffle of the small span set), collect each doc's handful of
+    * islands into ONE array row (same doc_id partition — no extra
+    * exchange), join to docs, then build the cleaned text in a single
+    * in-row `aggregate` fold over the sorted islands (kept-prefix +
+    * next-uncut-position accumulator; substring/length are code-point
+    * based, matching [[duplicateSpans]] positions). The per-doc island
+    * count is bounded by doc_len / k, and in practice tiny — the fold
+    * is O(islands) substring slices, never per-character row
+    * explosion. */
+  def cutDuplicateSpans(docs: DataFrame, spans: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val islands = mergedIslands(spans)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("cuts"))
+    val text = col("text")
+    val cut = aggregate(
+      col("cuts"),
+      struct(lit("").as("t"), lit(1L).as("p")),
+      (acc, c) => struct(
+        concat(acc("t"), substring(text, acc("p"), c("s") - acc("p"))).as("t"),
+        (c("e") + lit(1L)).as("p")),
+      acc => concat(acc("t"), substring(text, acc("p"), length(text))))
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .join(islands, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("cuts").isNull, text).otherwise(cut).as("clean_text"))
+  }
 }
