@@ -218,6 +218,18 @@ object SkewBench {
         .dropDuplicates("doc_id", "corpus_id")
     }
 
+    // exact substring-span dedup: output is LINEAR (each character
+    // position emits at most once per doc), so no cap exists by design;
+    // the hot text's ~108 window hashes each drag 100.5k rows into the
+    // hash exchange — the spill-not-OOM window contract under the most
+    // hostile ratio (the hot band IS half the corpus). Expect a few
+    // spans per covered doc (hot/echo_hot full-cover; boiler split by
+    // its variant tokens; tail docs share real 8-char windows through
+    // the w<id> vocabulary) — never pair expansion like the LSH ops.
+    run("duplicate_spans", observed = false) { _ =>
+      graft.ops.Dedup.duplicateSpans(docs, k = 8, hashFamily = "xxhash64")
+    }
+
     // ---- deep-hot rehearsal: the bucket stage IS the op ------------------
     // On the mixed corpus above, pair expansion dominates both wall and
     // shuffle, so the two capped shapes look alike. This band is the
