@@ -136,8 +136,8 @@ object BenchAB {
       // r6: ROVER char alignment with the quadratic matcher forced on
       // verbatim-equal engine texts (the pre-shortcut cost on clean
       // lines) vs the shipped Arrays.equals shortcut. Values identical —
-      // RoverSpec pins the property and the x_rover_vote digests are
-      // unchanged.
+      // SeqRatioSpec pins shortcut==full and the x_rover_vote digests
+      // are unchanged.
       "rover_align_fullmatcher_vs_shortcut" -> Pair(
         roverAlignQuery(eqShortcut = false),
         roverAlignQuery(eqShortcut = true),
@@ -222,19 +222,12 @@ object BenchAB {
     )
   }
 
-  /** The x_ensemble_vote similarity-matrix kernel: per doc, the 3x3
-    * engine matrix over (base, base, degraded) texts. `useShortcut=false`
-    * forces the full quadratic matcher on every pair (the pre-r6b cost);
-    * `true` is the shipped [[graft.vote.Ensemble.calculateSimilarity]].
-    * NOTE: the harness only times `.count()` — it does NOT compare the
-    * emitted values; value parity of the shortcut rests on the
-    * EnsembleSpec property pin (ratio(a,a) == 1.0 under autojunk). */
   /** The x_rover_vote alignment kernel on its dominant input class:
     * three engines agreeing verbatim on each line (clean-OCR common
     * case; exactly what the gate's synthetic triplet produces).
     * `eqShortcut=false` forces the full quadratic matcher per engine
     * pair — the pre-r6 cost. Only `.count()` is timed; value parity
-    * rests on the RoverSpec shortcut==full property pin. */
+    * rests on the SeqRatioSpec shortcut==full property pin. */
   private def roverAlignQuery(eqShortcut: Boolean): Q = (s, dir) => {
     import s.implicits._
     import org.apache.spark.sql.functions.col
@@ -248,6 +241,13 @@ object BenchAB {
       }).toDF("doc_id", "n_positions")
   }
 
+  /** The x_ensemble_vote similarity-matrix kernel: per doc, the 3x3
+    * engine matrix over (base, base, degraded) texts. `useShortcut=false`
+    * forces the full quadratic matcher on every pair (the pre-r6b cost);
+    * `true` is the shipped [[graft.vote.Ensemble.calculateSimilarity]].
+    * NOTE: the harness only times `.count()` — it does NOT compare the
+    * emitted values; value parity of the shortcut rests on the
+    * EnsembleSpec property pin (ratio(a,a) == 1.0 under autojunk). */
   private def ensembleMatrixQuery(useShortcut: Boolean): Q = (s, dir) => {
     import s.implicits._
     import org.apache.spark.sql.functions.col

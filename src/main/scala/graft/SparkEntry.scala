@@ -799,9 +799,10 @@ object SparkEntry {
            SELECT doc_id, sum(chars) AS dup_chars FROM (
              SELECT doc_id, island, max(span_end) - min(span_start) + 1 AS chars
              FROM ii GROUP BY doc_id, island) GROUP BY doc_id)
-         SELECT d.doc_id, length(d.text) AS doc_len,
+         SELECT d.doc_id, length(coalesce(d.text, '')) AS doc_len,
                 CAST(coalesce(c.dup_chars, 0) AS BIGINT) AS dup_chars,
-                round(coalesce(c.dup_chars, 0) * 1.0 / greatest(length(d.text), 1), 4) AS dup_ratio
+                round(coalesce(c.dup_chars, 0) * 1.0
+                      / greatest(length(coalesce(d.text, '')), 1), 4) AS dup_ratio
          FROM documents d LEFT JOIN cov c ON d.doc_id = c.doc_id ORDER BY d.doc_id""",
     "q_dup_cut" ->
       // naive per-character re-expression: a kept character is one whose

@@ -490,13 +490,17 @@ object Dedup {
     * of (max end - min start + 1). All three windows and both groupBys
     * share the doc_id partition — ONE shuffle of the (small) span set
     * plus the docs join; every document appears (zero spans =>
-    * dup_chars 0), so the output is exactly one row per doc. */
+    * dup_chars 0), so the output is exactly one row per doc. A NULL
+    * text counts as empty (doc_len 0, ratio 0.0) — the trio's shared
+    * convention: every doc gets defined values ([[duplicateSpans]]
+    * gives a NULL text no windows, so it can never carry spans). */
   def duplicateCoverage(docs: DataFrame, spans: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val covered = mergedIslands(spans)
       .groupBy(col("doc_id"))
       .agg(sum(col("e") - col("s") + lit(1)).as("dup_chars"))
-    docs.select(col(idCol).as("doc_id"), length(col(textCol)).cast("long").as("doc_len"))
+    docs.select(col(idCol).as("doc_id"),
+        length(coalesce(col(textCol), lit(""))).cast("long").as("doc_len"))
       .join(covered, Seq("doc_id"), "left")
       .select(col("doc_id"), col("doc_len"),
         coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
@@ -529,7 +533,9 @@ object Dedup {
     * al. 2022 treatment — cut the verbatim cross-document substrings,
     * keep the rest), as (doc_id, clean_text). Every input doc appears;
     * a doc with no spans keeps its text verbatim, a fully-covered doc
-    * becomes the empty string.
+    * becomes the empty string, and a NULL text comes out as "" (the
+    * trio's every-doc-defined convention, matching the oracle's
+    * coalesce and [[duplicateCoverage]]'s null-as-empty doc_len).
     *
     * Shape: merge spans into disjoint islands ([[mergedIslands]], one
     * shuffle of the small span set), collect each doc's handful of
@@ -554,7 +560,8 @@ object Dedup {
         concat(acc("t"), substring(text, acc("p"), c("s") - acc("p"))).as("t"),
         (c("e") + lit(1L)).as("p")),
       acc => concat(acc("t"), substring(text, acc("p"), length(text))))
-    docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    docs.select(col(idCol).as("doc_id"),
+        coalesce(col(textCol), lit("")).as("text"))
       .join(islands, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("cuts").isNull, text).otherwise(cut).as("clean_text"))

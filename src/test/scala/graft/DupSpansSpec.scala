@@ -157,6 +157,23 @@ class DupSpansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Set(1L -> "αβγXYZ", 2L -> "pppqqq", 3L -> "untouched"))
   }
 
+  test("NULL text: no spans, coverage (0, 0, 0.0), clean_text empty — " +
+      "every doc appears with defined values (the oracle's coalesce)") {
+    val ss = spark; import ss.implicits._
+    val docs = Seq(1L -> "sharedXYZW", 2L -> "sharedXYZW", 3L -> null)
+      .toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(docs, 4)
+    assert(spans.collect().forall(_.getLong(0) != 3L))
+    val cov = Dedup.duplicateCoverage(docs, spans)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(cov(3L) == ((0L, 0L, 0.0)))
+    val cut = Dedup.cutDuplicateSpans(docs, spans)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(cut(3L) == "")
+    assert(cut(1L) == "" && cut(2L) == "") // fully covered
+  }
+
   test("cutDuplicateSpans matches naive position-set cut on random corpora") {
     val ss = spark; import ss.implicits._
     val rnd = new scala.util.Random(99)
