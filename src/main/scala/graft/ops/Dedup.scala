@@ -166,10 +166,19 @@ object Dedup {
     * Entirely map-side: min is duplicate-insensitive (multiset min ==
     * set min), so no distinct/shuffle is needed — the per-band minima
     * fold in-row over the shingle array. At 100 TB this stage is a pure
-    * scan; the only shuffle in the dedup path is the band-bucket join. */
+    * scan; the only data shuffle in the dedup path is the band-bucket
+    * join (the doc/band agg exchange moves docs x bands summary rows).
+    *
+    * `spread` (default true) repartitions the input before the hashing
+    * pass — needed for the small-file gate inputs (a 600 KB parquet is
+    * ONE split, which would serialize all the hashing on one core), but
+    * at cluster scale it is a full corpus-TEXT exchange paid for
+    * nothing: a well-partitioned source should pass `spread = false`.
+    * Value-neutral either way (partitioning independence is
+    * spec-pinned). */
   def minhashSignatures(docs: DataFrame, bands: Int = 8, shingleK: Int = 5,
       idCol: String = "doc_id", textCol: String = "text",
-      hashFamily: String = "md5"): DataFrame = {
+      hashFamily: String = "md5", spread: Boolean = true): DataFrame = {
     val h: Column => Column = hashFamily match {
       case "md5"      => md5
       case "xxhash64" => c => xxhash64(c)
@@ -179,9 +188,10 @@ object Dedup {
     // compute-heavy map stage (docs x shingles x bands hash calls): spread
     // it across the cluster even when the input is a few small files —
     // a 600 KB parquet is ONE split, which would serialize all the hashing
-    val spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism * 2,
-      col(idCol))
-    spread
+    val spreadDf = if (spread)
+      docs.repartition(docs.sparkSession.sparkContext.defaultParallelism * 2, col(idCol))
+    else docs
+    spreadDf
       // array_distinct is in-row (no shuffle); explode feeds the codegen hash
       .select(col(idCol).as("doc_id"),
         explode(array_distinct(shingles(col(textCol), shingleK))).as("sh"))
@@ -434,10 +444,15 @@ object Dedup {
     * windows (birthday bound), and a rare false window either vanishes
     * (island shorter than any real span) or extends a real span by one —
     * an estimator nudge, not a wrong dup GROUP (contrast
-    * [[exactDupGroups]], which stays md5 for exactly that reason). */
+    * [[exactDupGroups]], which stays md5 for exactly that reason).
+    *
+    * `spread` (default true): same contract as [[minhashSignatures]] —
+    * repartition small gate inputs before the hash-per-character map
+    * stage; a well-partitioned cluster-scale source passes `false` and
+    * saves a full corpus-text exchange (value-neutral, spec-pinned). */
   def duplicateSpans(docs: DataFrame, k: Int = 8,
       idCol: String = "doc_id", textCol: String = "text",
-      hashFamily: String = "md5"): DataFrame = {
+      hashFamily: String = "md5", spread: Boolean = true): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val (h, sigType): (Column => Column, String) = hashFamily match {
       case "md5"      => (md5 _, "string")
@@ -447,8 +462,9 @@ object Dedup {
     }
     // compute-heavy map stage (a hash per character of the corpus):
     // spread small inputs like minhashSignatures does
-    val spread = docs.repartition(
-      docs.sparkSession.sparkContext.defaultParallelism * 2, col(idCol))
+    val spreadDf = if (spread)
+      docs.repartition(docs.sparkSession.sparkContext.defaultParallelism * 2, col(idCol))
+    else docs
     val text = col(textCol)
     // in-row: one hash per k-window; the guard keeps sequence() ascending
     // (sequence(1, 0) would DESCEND) and short docs windowless
@@ -456,7 +472,7 @@ object Dedup {
       transform(sequence(lit(1), length(text) - (k - 1)),
         i => h(substring(text, i, lit(k)))))
       .otherwise(expr(s"CAST(array() AS array<$sigType>)"))
-    val pos = spread
+    val pos = spreadDf
       .select(col(idCol).as("doc_id"), posexplode(windows).as(Seq("off", "h")))
       .select(col("doc_id"), (col("off") + 1).cast("long").as("pos"), col("h"))
     import org.apache.spark.sql.expressions.Window

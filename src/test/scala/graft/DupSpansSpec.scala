@@ -206,4 +206,23 @@ class DupSpansSpec extends AnyFunSuite with BeforeAndAfterAll {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges == 3, s"want 3 hash exchanges, got $exchanges:\n$plan")
   }
+
+  test("spread=false: identical spans, one fewer exchange (the cluster-" +
+      "scale path skips the corpus-text repartition)") {
+    val ss = spark; import ss.implicits._
+    val rnd = new scala.util.Random(7)
+    val docs = (0L until 8L).map { id =>
+      id -> Vector.fill(40)(('a' + rnd.nextInt(4)).toChar).mkString
+    }
+    val df = docs.toDF("doc_id", "text").repartition(5)
+    val a = Dedup.duplicateSpans(df, 4)
+    val b = Dedup.duplicateSpans(df, 4, spread = false)
+    // plan BEFORE any action: post-run AQE toString prints final+initial
+    // sections and would double-count the exchanges
+    val plan = b.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 2, s"want 2 hash exchanges without spread, got $exchanges:\n$plan")
+    assert(a.collect().toSet.map((r: org.apache.spark.sql.Row) => r.toSeq) ==
+      b.collect().toSet.map((r: org.apache.spark.sql.Row) => r.toSeq))
+  }
 }

@@ -380,6 +380,11 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
         val sigs1 = graft.ops.Dedup.minhashSignatures(docs.repartition(7),
           bands = 4, shingleK = 5, hashFamily = family)
         assert(sigs.except(sigs1).isEmpty && sigs1.except(sigs).isEmpty)
+        // spread=false (the cluster-scale no-repartition path) is
+        // value-identical
+        val sigs2 = graft.ops.Dedup.minhashSignatures(docs.repartition(7),
+          bands = 4, shingleK = 5, hashFamily = family, spread = false)
+        assert(sigs.except(sigs2).isEmpty && sigs2.except(sigs).isEmpty)
       }
     }
     intercept[IllegalArgumentException] {
