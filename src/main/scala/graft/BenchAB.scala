@@ -133,6 +133,18 @@ object BenchAB {
         (s: SparkSession, dir: String) => graft.ops.Dedup.duplicateSpans(
           s.read.parquet(s"$dir/documents.parquet"), k = 8, hashFamily = "xxhash64"),
         identical = false),
+      // r6: the gate-only input spread on an ALREADY well-partitioned
+      // source (repartition(64) simulates a cluster-scale input): the
+      // default pays a redundant corpus-text exchange, spread=false
+      // skips it. Values identical (DupSpansSpec parity pin).
+      "dupspans_spread_vs_nospread_prepartitioned" -> Pair(
+        (s: SparkSession, dir: String) => graft.ops.Dedup.duplicateSpans(
+          s.read.parquet(s"$dir/documents.parquet").repartition(64), k = 8,
+          hashFamily = "xxhash64"),
+        (s: SparkSession, dir: String) => graft.ops.Dedup.duplicateSpans(
+          s.read.parquet(s"$dir/documents.parquet").repartition(64), k = 8,
+          hashFamily = "xxhash64", spread = false),
+        identical = false),
       // r6: ROVER char alignment with the quadratic matcher forced on
       // verbatim-equal engine texts (the pre-shortcut cost on clean
       // lines) vs the shipped Arrays.equals shortcut. Values identical —
