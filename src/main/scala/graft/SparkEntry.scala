@@ -365,8 +365,19 @@ object SparkEntry {
     }),
     "q_dup_spans" -> ((s, dir) =>
       // exact substring-span dedup (Lee et al. class): maximal spans whose
-      // every 8-char window also occurs in another document
-      Dedup.duplicateSpans(t(s, dir, "documents"), k = 8)
+      // every 8-char window also occurs in another document.
+      // hashFamily=xxhash64 (r7): unlike the MinHash family — where the
+      // hash ORDER picks which shingle wins the min, so the oracle must
+      // stay md5 bit-for-bit — span dedup uses the hash only as an
+      // EQUALITY key ("window shared by >1 doc"), so any collision-free
+      // family yields identical spans. The codegen 64-bit family halves
+      // nothing downstream of correctness (expected colliding window
+      // pairs < 1 up to ~5e9 distinct windows, Dedup.duplicateSpans
+      // scaladoc) but cuts the hash-partition shuffle key from a 36-byte
+      // hex string to an 8-byte long and the per-character hash from MD5
+      // to XXH64. Oracle equality (DuckDB computes with md5) re-verified
+      // at sf0.001/sf0.01/sf0.1 after the switch — see OPTIMIZATION_r07.md.
+      Dedup.duplicateSpans(t(s, dir, "documents"), k = 8, hashFamily = "xxhash64")
         .orderBy(col("doc_id"), col("span_start"))),
     "q_dup_coverage" -> ((s, dir) => {
       // span-dedup consumer: per-doc duplicated-character ratio (the
@@ -376,14 +387,17 @@ object SparkEntry {
       // and the ratio saturates at 1.0 (q_dup_spans keeps k=8 to gate
       // the dense-window island-merge regime)
       val docs = t(s, dir, "documents")
-      Dedup.duplicateCoverage(docs, Dedup.duplicateSpans(docs, k = 32))
+      // xxhash64 family: equality-only hash use, same argument and the
+      // same three-tier oracle re-verification as q_dup_spans
+      Dedup.duplicateCoverage(docs, Dedup.duplicateSpans(docs, k = 32, hashFamily = "xxhash64"))
         .orderBy(col("doc_id"))
     }),
     "q_dup_cut" -> ((s, dir) => {
       // span-dedup consumer #2: cut the duplicated intervals out of the
       // text (Lee et al.'s actual treatment); k=32 as q_dup_coverage
       val docs = t(s, dir, "documents")
-      Dedup.cutDuplicateSpans(docs, Dedup.duplicateSpans(docs, k = 32))
+      // xxhash64 family: same argument as q_dup_spans / q_dup_coverage
+      Dedup.cutDuplicateSpans(docs, Dedup.duplicateSpans(docs, k = 32, hashFamily = "xxhash64"))
         .orderBy(col("doc_id"))
     }),
 

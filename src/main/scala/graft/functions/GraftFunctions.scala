@@ -104,6 +104,242 @@ object VectorKernels {
   }
 }
 
+/** Primitive-loop MinHash / window-hash kernels over UTF8String bytes.
+  *
+  * Motivation (guide §1.2 step 2 after step 1): the relational MinHash
+  * shape materialized docs × shingles × bands exploded rows (~8× the
+  * corpus character count) through `explode`/`explode`/hash-aggregate
+  * just to take per-(doc, band) minima that are naturally computable in
+  * ONE in-row pass — every exploded row paid an UnsafeRow write, a
+  * hash-agg probe, a `concat` allocation and a `substring` allocation
+  * before the hash call. These kernels fold the whole derivation into a
+  * codegen'd per-row call: walk the text's UTF-8 bytes once (code-point
+  * lead-byte offsets — `substring`/`length` semantics), hash each
+  * k-code-point window per band directly from the byte buffer, keep
+  * running minima. Zero intermediate rows; same hash calls.
+  *
+  * Bit-equivalence contracts (pinned by FunctionsSpec + the DuckDB
+  * oracles q_minhash_sig / q_lsh_pairs / q_lsh_jaccard and the two-tier
+  * x_minhash_xx64 digest):
+  *  - md5 family == `min(md5(concat(band, ':', shingle)))` over distinct
+  *    shingles: MD5 over the UTF-8 bytes of "b:<window>"; min over
+  *    lowercase-hex strings == unsigned byte compare of raw digests
+  *    (nibble→hex-char mapping is monotonic); min is duplicate-
+  *    insensitive so the relational `array_distinct` needs no analog.
+  *  - xxhash64 family == `min(xxhash64(concat(band, ':', shingle)))`:
+  *    Spark's xxhash64(string) is XXH64 over the string's bytes with
+  *    seed 42 ([[org.apache.spark.sql.catalyst.expressions.XXH64]]);
+  *    min over longs is SIGNED (Spark's LongType ordering).
+  *  - windows are CODE POINT based: a k-window spans k lead bytes, like
+  *    `substring(text, i, k)`; a text shorter than k code points is one
+  *    whole-text shingle for MinHash ([[graft.ops.Dedup.shingles]]) and
+  *    windowless for the span-dedup window hasher
+  *    ([[graft.ops.Dedup.duplicateSpans]]'s `when(length >= k)` guard).
+  */
+object HashKernels {
+  private val md5Local: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+  private val HexDigits: Array[Byte] = "0123456789abcdef".getBytes("US-ASCII")
+
+  /** "b:" prefixes, cached per band index (tiny, grows to max band). */
+  private val prefixCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Byte]]()
+  private def prefix(b: Int): Array[Byte] =
+    prefixCache.computeIfAbsent(b, i => (i.toString + ":").getBytes("US-ASCII"))
+
+  private def hex16(d: Array[Byte], off: Int): UTF8String = {
+    val cs = new Array[Byte](32)
+    var i = 0
+    while (i < 16) {
+      val b = d(off + i) & 0xff
+      cs(2 * i) = HexDigits(b >>> 4)
+      cs(2 * i + 1) = HexDigits(b & 0xf)
+      i += 1
+    }
+    UTF8String.fromBytes(cs)
+  }
+
+  /** Digest compare, unsigned lexicographic (== hex-string ordering). */
+  private def lessUnsigned(a: Array[Byte], b: Array[Byte], bOff: Int): Boolean = {
+    var i = 0
+    while (i < 16) {
+      val x = a(i) & 0xff
+      val y = b(bOff + i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
+
+  /** Byte offset of each code point start (UTF-8 lead bytes) + an
+    * end-sentinel; returns the code point count. `offs` must have
+    * bytes.length + 1 capacity. */
+  private def cpOffsets(bytes: Array[Byte], offs: Array[Int]): Int = {
+    var n = 0
+    var i = 0
+    while (i < bytes.length) {
+      if ((bytes(i) & 0xc0) != 0x80) { offs(n) = i; n += 1 }
+      i += 1
+    }
+    offs(n) = bytes.length
+    n
+  }
+
+  def minhashSigsMd5(s: UTF8String, bands: Int, k: Int): ArrayData = {
+    val bytes = s.getBytes
+    val offs = new Array[Int](bytes.length + 1)
+    val nCp = cpOffsets(bytes, offs)
+    val md = md5Local.get()
+    val mins = new Array[Byte](bands * 16)
+    val tmp = new Array[Byte](16)
+    val whole = nCp < k
+    val nWin = if (whole) 1 else nCp - k + 1
+    var w = 0
+    while (w < nWin) {
+      val start = if (whole) 0 else offs(w)
+      val len = (if (whole) bytes.length else offs(w + k)) - start
+      var b = 0
+      while (b < bands) {
+        md.update(prefix(b))
+        md.update(bytes, start, len)
+        md.digest(tmp, 0, 16) // resets the digest
+        if (w == 0 || lessUnsigned(tmp, mins, b * 16))
+          System.arraycopy(tmp, 0, mins, b * 16, 16)
+        b += 1
+      }
+      w += 1
+    }
+    val out = new Array[AnyRef](bands)
+    var b = 0
+    while (b < bands) { out(b) = hex16(mins, b * 16); b += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  def minhashSigsXx(s: UTF8String, bands: Int, k: Int): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.Platform
+    val bytes = s.getBytes
+    val offs = new Array[Int](bytes.length + 1)
+    val nCp = cpOffsets(bytes, offs)
+    var maxPref = 2
+    var b = 0
+    while (b < bands) { val l = prefix(b).length; if (l > maxPref) maxPref = l; b += 1 }
+    // layout: window bytes FIXED at maxPref (copied once per window),
+    // band prefix right-aligned against them (patched per band) — the
+    // hashed region [maxPref - plen, maxPref + wlen) is contiguous
+    val buf = new Array[Byte](maxPref + bytes.length)
+    val mins = new Array[Long](bands)
+    val whole = nCp < k
+    val nWin = if (whole) 1 else nCp - k + 1
+    var w = 0
+    while (w < nWin) {
+      val start = if (whole) 0 else offs(w)
+      val len = (if (whole) bytes.length else offs(w + k)) - start
+      System.arraycopy(bytes, start, buf, maxPref, len)
+      b = 0
+      while (b < bands) {
+        val p = prefix(b)
+        System.arraycopy(p, 0, buf, maxPref - p.length, p.length)
+        val h = XXH64.hashUnsafeBytes(buf,
+          Platform.BYTE_ARRAY_OFFSET + maxPref - p.length, p.length + len, 42L)
+        if (w == 0 || h < mins(b)) mins(b) = h
+        b += 1
+      }
+      w += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
+  def windowHashesMd5(s: UTF8String, k: Int): ArrayData = {
+    val bytes = s.getBytes
+    val offs = new Array[Int](bytes.length + 1)
+    val nCp = cpOffsets(bytes, offs)
+    val nWin = if (nCp < k) 0 else nCp - k + 1
+    val md = md5Local.get()
+    val tmp = new Array[Byte](16)
+    val out = new Array[AnyRef](nWin)
+    var w = 0
+    while (w < nWin) {
+      md.update(bytes, offs(w), offs(w + k) - offs(w))
+      md.digest(tmp, 0, 16)
+      out(w) = hex16(tmp, 0)
+      w += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  def windowHashesXx(s: UTF8String, k: Int): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.Platform
+    val bytes = s.getBytes
+    val offs = new Array[Int](bytes.length + 1)
+    val nCp = cpOffsets(bytes, offs)
+    val nWin = if (nCp < k) 0 else nCp - k + 1
+    val out = new Array[Long](nWin)
+    var w = 0
+    while (w < nWin) {
+      // zero-copy: hash the window's byte region in place
+      out(w) = XXH64.hashUnsafeBytes(bytes,
+        Platform.BYTE_ARRAY_OFFSET + offs(w), offs(w + k) - offs(w), 42L)
+      w += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Per-band MinHash signatures in one pass: array of `bands` minima
+  * (hex md5 strings or xxhash64 longs) over the text's k-code-point
+  * windows — see [[HashKernels]] for the equivalence contract. */
+case class MinhashSigsExpr(child: Expression, bands: Int, k: Int, family: String)
+    extends UnaryExpression {
+  require(bands >= 1, s"bands must be >= 1, got $bands")
+  require(k >= 1, s"k must be >= 1, got $k")
+  require(family == "md5" || family == "xxhash64",
+    s"family must be 'md5' or 'xxhash64', got '$family'")
+  private def isMd5: Boolean = family == "md5"
+  override def nullIntolerant: Boolean = true
+  // containsNull = true so the generated `sig`/`h` columns keep the
+  // nullable schema the relational min()/transform() forms produced
+  // (values are never null; the oracle's parquet schema check compares
+  // nullability)
+  override def dataType: DataType =
+    ArrayType(if (isMd5) StringType else LongType, containsNull = true)
+  override def nullSafeEval(a: Any): Any =
+    if (isMd5) HashKernels.minhashSigsMd5(a.asInstanceOf[UTF8String], bands, k)
+    else HashKernels.minhashSigsXx(a.asInstanceOf[UTF8String], bands, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.HashKernels.minhashSigs${if (isMd5) "Md5" else "Xx"}($a, $bands, $k)")
+  override protected def withNewChildInternal(newChild: Expression) = copy(child = newChild)
+  override def prettyName: String = "minhash_sigs"
+}
+
+/** Hash of every k-code-point window of the text (empty array when the
+  * text is shorter than k) — the [[graft.ops.Dedup.duplicateSpans]]
+  * hot-path kernel; see [[HashKernels]]. */
+case class WindowHashesExpr(child: Expression, k: Int, family: String)
+    extends UnaryExpression {
+  require(k >= 1, s"k must be >= 1, got $k")
+  require(family == "md5" || family == "xxhash64",
+    s"family must be 'md5' or 'xxhash64', got '$family'")
+  private def isMd5: Boolean = family == "md5"
+  override def nullIntolerant: Boolean = true
+  // containsNull = true so the generated `sig`/`h` columns keep the
+  // nullable schema the relational min()/transform() forms produced
+  // (values are never null; the oracle's parquet schema check compares
+  // nullability)
+  override def dataType: DataType =
+    ArrayType(if (isMd5) StringType else LongType, containsNull = true)
+  override def nullSafeEval(a: Any): Any =
+    if (isMd5) HashKernels.windowHashesMd5(a.asInstanceOf[UTF8String], k)
+    else HashKernels.windowHashesXx(a.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.HashKernels.windowHashes${if (isMd5) "Md5" else "Xx"}($a, $k)")
+  override protected def withNewChildInternal(newChild: Expression) = copy(child = newChild)
+  override def prettyName: String = "window_hashes"
+}
+
 object LangIdImpl {
   /** Single-pass language-ID over code points — exactly the semantics of
     * the five-`regexp_replace` Column formulation it replaces
@@ -243,6 +479,12 @@ object GraftColumns {
     GraftExprAccess.column(Simhash64Expr(GraftExprAccess.expression(text)))
   def langId(text: Column): Column =
     GraftExprAccess.column(LangIdExpr(GraftExprAccess.expression(text)))
+  def minhashSigs(text: Column, bands: Int, k: Int, family: String): Column =
+    GraftExprAccess.column(MinhashSigsExpr(GraftExprAccess.expression(text),
+      bands, k, family))
+  def windowHashes(text: Column, k: Int, family: String): Column =
+    GraftExprAccess.column(WindowHashesExpr(GraftExprAccess.expression(text),
+      k, family))
 }
 
 /** SparkSessionExtensions injector:

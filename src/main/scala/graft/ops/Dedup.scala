@@ -179,27 +179,30 @@ object Dedup {
   def minhashSignatures(docs: DataFrame, bands: Int = 8, shingleK: Int = 5,
       idCol: String = "doc_id", textCol: String = "text",
       hashFamily: String = "md5", spread: Boolean = true): DataFrame = {
-    val h: Column => Column = hashFamily match {
-      case "md5"      => md5
-      case "xxhash64" => c => xxhash64(c)
-      case other => throw new IllegalArgumentException(
-        s"hashFamily must be 'md5' or 'xxhash64', got '$other'")
-    }
+    require(hashFamily == "md5" || hashFamily == "xxhash64",
+      s"hashFamily must be 'md5' or 'xxhash64', got '$hashFamily'")
     // compute-heavy map stage (docs x shingles x bands hash calls): spread
     // it across the cluster even when the input is a few small files —
     // a 600 KB parquet is ONE split, which would serialize all the hashing
     val spreadDf = if (spread)
       docs.repartition(docs.sparkSession.sparkContext.defaultParallelism * 2, col(idCol))
     else docs
+    // ONE in-row pass per doc ([[graft.functions.HashKernels]] codegen
+    // kernel: per-band minima over the k-code-point windows, hashed
+    // straight from the UTF-8 bytes) replacing the former
+    // explode(shingles) × explode(bands) → groupBy(doc, band).min(...)
+    // shape: the exploded form materialized ~bands × corpus-chars rows
+    // through an UnsafeRow + hash-agg probe + concat/substring
+    // allocation each, all to compute minima that fold in-row. Same
+    // hash calls, zero intermediate rows, no aggregation exchange at
+    // all (the old groupBy moved docs × bands rows). Bit-equivalence
+    // with the relational form is pinned in FunctionsSpec and by the
+    // oracle gates (q_minhash_sig / q_lsh_pairs hash-match md5 sigs;
+    // x_minhash_xx64 digest pins the production family at two tiers).
     spreadDf
-      // array_distinct is in-row (no shuffle); explode feeds the codegen hash
       .select(col(idCol).as("doc_id"),
-        explode(array_distinct(shingles(col(textCol), shingleK))).as("sh"))
-      .select(col("doc_id"), explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sh"))
-      .groupBy(col("doc_id"), col("band"))
-      // partial aggregation collapses to `bands` rows per doc map-side;
-      // the shuffle moves only (docs x bands) rows
-      .agg(min(h(concat(col("band").cast("string"), lit(":"), col("sh")))).as("sig"))
+        posexplode(graft.functions.GraftColumns.minhashSigs(
+          col(textCol), bands, shingleK, hashFamily)).as(Seq("band", "sig")))
   }
 
   /** LSH candidate pairs: docs sharing any band signature. Self-join on
@@ -257,7 +260,11 @@ object Dedup {
       .join(sets.withColumnRenamed("ngrams", "ngrams_b"), pairs("doc_b") === sets("doc_id"))
       .drop("doc_id")
       .withColumn("inter", size(array_intersect(col("ngrams_a"), col("ngrams_b"))))
-      .withColumn("uni", size(array_union(col("ngrams_a"), col("ngrams_b"))))
+      // |A ∪ B| = |A| + |B| - |A ∩ B| exactly (both sides are
+      // array_distinct sets), so the union ARRAY never needs building —
+      // array_union allocated a hash set + output array per pair, the
+      // per-candidate hot path of the LSH→Jaccard verifier
+      .withColumn("uni", size(col("ngrams_a")) + size(col("ngrams_b")) - col("inter"))
       .select(col("doc_a"), col("doc_b"),
         round(col("inter").cast("double") / greatest(col("uni"), lit(1)), 4).as("jaccard"))
   }
@@ -392,10 +399,21 @@ object Dedup {
           // join's strict < excludes them)
           .where(col("doc_a") < col("doc_b"))
       }
+    // hamming filter BEFORE the cross-band distinct: bit_count is one
+    // codegen instruction per row, while distinct is a shuffle of every
+    // candidate — filtering first shuffles only the pairs that survive
+    // (a deterministic per-row predicate commutes with distinct, and
+    // (sim_a, sim_b) ride every copy of a pair identically, so the
+    // surviving distinct set is unchanged)
+    // distinct stays keyed on (doc_a, doc_b, sim_a, sim_b) — hamming is
+    // functionally determined by (sim_a, sim_b), so this 5-col distinct
+    // groups exactly like the old pre-filter 4-col one (duplicate-id
+    // corpora can carry one (doc_a, doc_b) at several signature combos,
+    // and the old shape kept each; value-preserving)
     val result = pairs
-      .distinct()
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .where(col("hamming") <= maxDist)
+      .distinct()
       .select("doc_a", "doc_b", "hamming")
     if (maxBucket == Int.MaxValue)
       suppressed.fold(result)(observeZeros(result, _))
@@ -454,26 +472,26 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text",
       hashFamily: String = "md5", spread: Boolean = true): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val (h, sigType): (Column => Column, String) = hashFamily match {
-      case "md5"      => (md5 _, "string")
-      case "xxhash64" => ((c: Column) => xxhash64(c), "bigint")
-      case other => throw new IllegalArgumentException(
-        s"hashFamily must be 'md5' or 'xxhash64', got '$other'")
-    }
+    require(hashFamily == "md5" || hashFamily == "xxhash64",
+      s"hashFamily must be 'md5' or 'xxhash64', got '$hashFamily'")
     // compute-heavy map stage (a hash per character of the corpus):
     // spread small inputs like minhashSignatures does
     val spreadDf = if (spread)
       docs.repartition(docs.sparkSession.sparkContext.defaultParallelism * 2, col(idCol))
     else docs
-    val text = col(textCol)
-    // in-row: one hash per k-window; the guard keeps sequence() ascending
-    // (sequence(1, 0) would DESCEND) and short docs windowless
-    val windows = when(length(text) >= k,
-      transform(sequence(lit(1), length(text) - (k - 1)),
-        i => h(substring(text, i, lit(k)))))
-      .otherwise(expr(s"CAST(array() AS array<$sigType>)"))
+    // in-row: one hash per k-code-point window, computed by the
+    // [[graft.functions.HashKernels]] codegen kernel in a single pass
+    // over the text's UTF-8 bytes (docs shorter than k code points are
+    // windowless — empty array). Replaces the interpreted
+    // `transform(sequence(...), i => h(substring(text, i, k)))` HOF,
+    // which paid a lambda interpretation + substring allocation (+ for
+    // md5 a concat/hex round trip) per corpus character; hash values
+    // are bit-identical per family, so the window/span output is
+    // unchanged (oracle-gated q_dup_spans/q_dup_coverage/q_dup_cut).
     val pos = spreadDf
-      .select(col(idCol).as("doc_id"), posexplode(windows).as(Seq("off", "h")))
+      .select(col(idCol).as("doc_id"),
+        posexplode(graft.functions.GraftColumns.windowHashes(
+          col(textCol), k, hashFamily)).as(Seq("off", "h")))
       .select(col("doc_id"), (col("off") + 1).cast("long").as("pos"), col("h"))
     import org.apache.spark.sql.expressions.Window
     val byHash = Window.partitionBy("h")

@@ -78,6 +78,14 @@ object ExtractRelational {
           (d.doc_id, graft.text.Normalize.dashes(e.text), e.level, i.toLong, d.pages.length)
         }
     }.toDF("doc_id", "norm_text", "level", "seq", "n_pages")
+      // ONE exchange for the whole aggregation chain: hash-partitioning
+      // by doc_id alone satisfies ClusteredDistribution for BOTH groupBys
+      // (doc_id is a subset of each grouping key — rows of a group can
+      // never straddle partitions) and for the per-doc rank window, so
+      // the plan keeps this single Exchange where the natural shape paid
+      // three (byLevel key, analyses key, window key). Plan evidence in
+      // plans/r07/x_extract_relational_{before,after}.txt.
+      .repartition($"doc_id")
 
     // per (doc, text, level) counts -> per (doc, text): count, mode level
     val byLevel = headings

@@ -139,6 +139,73 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("minhash_sigs kernel == relational explode/groupBy-min form, both families") {
+    val ss = spark; import ss.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(7)
+    val pool: IndexedSeq[Int] = ('a'.toInt to 'f'.toInt) ++ Seq(0x0410, 0x3041, 0x30fe,
+      0xac00, 0x4e00, 0x20, 0x1F600, 0x20BB7, 0x7f, 0x80, 0x7ff, 0x800, 0xffff, 0x10000)
+    val texts = Seq("", "a", "ab", "あ", "あいう",
+        new String(Character.toChars(0x1F600)), null) ++
+      (0 until 120).map { _ =>
+        val n = rnd.nextInt(40)
+        new String((0 until n).flatMap(_ =>
+          Character.toChars(pool(rnd.nextInt(pool.length)))).toArray)
+      }
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    for ((family, h) <- Seq[(String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)](
+        ("md5", md5), ("xxhash64", c => xxhash64(c)));
+        (bands, k) <- Seq((8, 8), (4, 5), (1, 3), (3, 1))) {
+      // the pre-r7 relational shape, verbatim
+      val relational = docs
+        .select(col("doc_id"),
+          explode(array_distinct(graft.ops.Dedup.shingles(col("text"), k))).as("sh"))
+        .select(col("doc_id"), explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sh"))
+        .groupBy(col("doc_id"), col("band"))
+        .agg(min(h(concat(col("band").cast("string"), lit(":"), col("sh")))).as("sig"))
+      val kernel = docs.select(col("doc_id"),
+        posexplode(graft.functions.GraftColumns.minhashSigs(col("text"), bands, k, family))
+          .as(Seq("band", "sig")))
+      val a = relational.collect().map(_.toSeq).toSet
+      val b = kernel.collect().map(_.toSeq).toSet
+      assert(a == b, s"family=$family bands=$bands k=$k: kernel != relational")
+      assert(kernel.schema == relational.schema,
+        s"family=$family: schema ${kernel.schema} != ${relational.schema}")
+    }
+  }
+
+  test("window_hashes kernel == relational transform/substring form, both families") {
+    val ss = spark; import ss.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(11)
+    val pool: IndexedSeq[Int] = ('a'.toInt to 'd'.toInt) ++ Seq(0x3041, 0xac00, 0x1F600, 0x20)
+    val texts = Seq("", "a", "abc", "あいうえおかき", null) ++
+      (0 until 120).map { _ =>
+        val n = rnd.nextInt(30)
+        new String((0 until n).flatMap(_ =>
+          Character.toChars(pool(rnd.nextInt(pool.length)))).toArray)
+      }
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    for ((family, h, sigType) <- Seq[(String,
+          org.apache.spark.sql.Column => org.apache.spark.sql.Column, String)](
+        ("md5", md5, "string"), ("xxhash64", c => xxhash64(c), "bigint"));
+        k <- Seq(1, 2, 5, 8)) {
+      val text = col("text")
+      // the pre-r7 relational shape, verbatim
+      val windows = when(length(text) >= k,
+        transform(sequence(lit(1), length(text) - (k - 1)),
+          i => h(substring(text, i, lit(k)))))
+        .otherwise(expr(s"CAST(array() AS array<$sigType>)"))
+      val relational = docs.select(col("doc_id"), posexplode(windows).as(Seq("off", "h")))
+      val kernel = docs.select(col("doc_id"),
+        posexplode(graft.functions.GraftColumns.windowHashes(text, k, family))
+          .as(Seq("off", "h")))
+      val a = relational.collect().map(_.toSeq).toSet
+      val b = kernel.collect().map(_.toSeq).toSet
+      assert(a == b, s"family=$family k=$k: kernel != relational")
+    }
+  }
+
   test("expressions usable over a table scan") {
     val ss = spark; import ss.implicits._
     val docs = Seq(("a", "信頼性の設計"), ("b", "信頼性の設訃")).toDF("id", "t")
