@@ -145,6 +145,127 @@ object BenchAB {
           s.read.parquet(s"$dir/documents.parquet").repartition(64), k = 8,
           hashFamily = "xxhash64", spread = false),
         identical = false),
+      // r7: the pre-kernel relational MinHash derivation (explode
+      // shingles x explode bands -> groupBy(doc, band).min — ~8x the
+      // corpus characters in intermediate rows) vs the shipped one-pass
+      // minhash_sigs kernel, both md5, both feeding the same capped
+      // bucket join. Signatures bit-identical (FunctionsSpec pins
+      // kernel == relational; q_lsh_pairs oracle unchanged).
+      "minhash_exploded_vs_kernel" -> Pair(
+        (s: SparkSession, dir: String) => {
+          import org.apache.spark.sql.functions._
+          val docs = s.read.parquet(s"$dir/documents.parquet")
+            .repartition(s.sparkContext.defaultParallelism * 2, col("doc_id"))
+          val sigs = docs
+            .select(col("doc_id"),
+              explode(array_distinct(graft.ops.Dedup.shingles(col("text"), 8))).as("sh"))
+            .select(col("doc_id"), explode(sequence(lit(0), lit(7))).as("band"), col("sh"))
+            .groupBy(col("doc_id"), col("band"))
+            .agg(min(md5(concat(col("band").cast("string"), lit(":"), col("sh")))).as("sig"))
+          graft.ops.Dedup.lshCandidatePairs(sigs, maxBucket = 50)
+        },
+        SparkEntry.queries("q_lsh_pairs"),
+        identical = false),
+      // r7: the span-dedup window hashing as the pre-kernel interpreted
+      // transform/substring HOF vs the shipped window_hashes kernel
+      // (one pass over the UTF-8 bytes), both xxhash64. Hash values
+      // bit-identical (FunctionsSpec).
+      "dupspans_hof_vs_kernel" -> Pair(
+        (s: SparkSession, dir: String) => {
+          import org.apache.spark.sql.functions._
+          val docs = s.read.parquet(s"$dir/documents.parquet")
+            .repartition(s.sparkContext.defaultParallelism * 2, col("doc_id"))
+          val text = col("text")
+          val k = 8
+          val windows = when(length(text) >= k,
+            transform(sequence(lit(1), length(text) - (k - 1)),
+              i => xxhash64(substring(text, i, lit(k)))))
+            .otherwise(expr("CAST(array() AS array<bigint>)"))
+          val pos = docs
+            .select(col("doc_id"), posexplode(windows).as(Seq("off", "h")))
+            .select(col("doc_id"), (col("off") + 1).cast("long").as("pos"), col("h"))
+          val byHash = org.apache.spark.sql.expressions.Window.partitionBy("h")
+          val byDoc = org.apache.spark.sql.expressions.Window
+            .partitionBy("doc_id").orderBy("pos")
+          pos
+            .withColumn("d_min", min("doc_id").over(byHash))
+            .withColumn("d_max", max("doc_id").over(byHash))
+            .where(col("d_min") =!= col("d_max"))
+            .select("doc_id", "pos")
+            .withColumn("island", col("pos") - row_number().over(byDoc))
+            .groupBy(col("doc_id"), col("island"))
+            .agg(min("pos").as("span_start"),
+              (max(col("pos")) + lit(k - 1)).as("span_end"),
+              (max(col("pos")) - min(col("pos")) + lit(k)).as("span_len"))
+            .select("doc_id", "span_start", "span_end", "span_len")
+        },
+        (s: SparkSession, dir: String) => graft.ops.Dedup.duplicateSpans(
+          s.read.parquet(s"$dir/documents.parquet"), k = 8, hashFamily = "xxhash64"),
+        identical = false),
+      // r7: the LSH->Jaccard verifier's per-pair set math as built-ins
+      // (size(array_intersect) + size(array_union): two hash sets + two
+      // materialized arrays per candidate pair) vs the shipped
+      // intersect_count kernel + |A|+|B|-|A∩B| union arithmetic. Values
+      // identical (FunctionsSpec differential; q_lsh_jaccard oracle).
+      // Timed through a noop-equivalent full materialization: the
+      // jaccard COLUMN is the product here, so count()-style pruning
+      // would time the wrong thing — both arms aggregate over jaccard.
+      "jaccard_builtins_vs_kernel" -> Pair(
+        (s: SparkSession, dir: String) => {
+          import org.apache.spark.sql.functions._
+          val docs = s.read.parquet(s"$dir/documents.parquet")
+          val pairs = graft.ops.Dedup.lshCandidatePairs(
+            graft.ops.Dedup.minhashSignatures(docs, bands = 8, shingleK = 8), maxBucket = 50)
+          val sets = docs.select(col("doc_id"),
+            array_distinct(graft.ops.Dedup.wordNgrams(col("text"), 3)).as("ngrams"))
+          pairs
+            .join(sets.withColumnRenamed("ngrams", "ngrams_a"), pairs("doc_a") === sets("doc_id"))
+            .drop("doc_id")
+            .join(sets.withColumnRenamed("ngrams", "ngrams_b"), pairs("doc_b") === sets("doc_id"))
+            .drop("doc_id")
+            .withColumn("inter", size(array_intersect(col("ngrams_a"), col("ngrams_b"))))
+            .withColumn("uni", size(array_union(col("ngrams_a"), col("ngrams_b"))))
+            .select(col("doc_a"), col("doc_b"),
+              round(col("inter").cast("double") / greatest(col("uni"), lit(1)), 4).as("jaccard"))
+            .agg(sum(col("jaccard")), count(lit(1)))
+        },
+        (s: SparkSession, dir: String) => {
+          import org.apache.spark.sql.functions._
+          val docs = s.read.parquet(s"$dir/documents.parquet")
+          val pairs = graft.ops.Dedup.lshCandidatePairs(
+            graft.ops.Dedup.minhashSignatures(docs, bands = 8, shingleK = 8), maxBucket = 50)
+          graft.ops.Dedup.ngramJaccard(docs, pairs, n = 3)
+            .agg(sum(col("jaccard")), count(lit(1)))
+        },
+        identical = false),
+      // r7: a heavy per-doc map chained directly on the gate parquet's
+      // single 128MB-split (ONE task does the whole corpus) vs the
+      // scale-adaptive spread the shipped x_ensemble_vote now applies.
+      // Rows identical; only scan parallelism differs. Both arms run
+      // the FULL x_ensemble_vote body (vote + fallback per doc).
+      "ensemble_narrow_vs_spread" -> Pair(
+        (s: SparkSession, dir: String) => {
+          import s.implicits._
+          import org.apache.spark.sql.functions.col
+          s.read.parquet(s"$dir/documents.parquet")
+            .select(col("doc_id"), col("text")).as[(Long, String)]
+            .mapPartitions(_.map { case (id, text) =>
+              val base = text.take(240)
+              val degraded = base.replaceAll("[aeiouあい]", "")
+              val engines = Vector("yomitoku", "paddleocr", "easyocr")
+              val bad = (id % 3).toInt
+              val results = engines.zipWithIndex.map { case (e, i) =>
+                e -> (if (i == bad) degraded else base)
+              }
+              val (winText, winEngine, votes) = graft.vote.Ensemble.voteBestResult(results)
+              val (fbText, fbEngine) = graft.vote.Ensemble.ocrWithFallback(results)
+              (id, winEngine, votes.getOrElse(winEngine, 0), winText.length,
+                fbEngine, fbText == winText)
+            }).toDF("doc_id", "vote_engine", "votes", "len", "fallback_engine", "agree")
+        },
+        (s: SparkSession, dir: String) =>
+          SparkEntry.queries("x_ensemble_vote")(s, dir),
+        identical = false),
       // r6: ROVER char alignment with the quadratic matcher forced on
       // verbatim-equal engine texts (the pre-shortcut cost on clean
       // lines) vs the shipped Arrays.equals shortcut. Values identical —

@@ -287,6 +287,59 @@ object HashKernels {
   }
 }
 
+/** Set-intersection cardinality of two string arrays without building
+  * the intersection array — the per-candidate hot path of the exact
+  * n-gram Jaccard verifier ([[graft.ops.Dedup.ngramJaccard]]).
+  * `size(array_intersect(a, b))` allocates an OpenHashSet AND an output
+  * array per pair just to take its length; this counts instead:
+  * |distinct(a) ∩ distinct(b)| via one hash set of b and remove-once
+  * probing of a (remove returns true exactly once per distinct value,
+  * so duplicate elements — in either input — and a shared null element
+  * count once, matching array_intersect's dedup semantics). */
+object IntersectCountImpl {
+  def count(a: ArrayData, b: ArrayData): Int = {
+    val nb = b.numElements()
+    val set = new java.util.HashSet[AnyRef](Math.max(4, nb * 2))
+    var i = 0
+    while (i < nb) {
+      set.add(if (b.isNullAt(i)) null else b.getUTF8String(i))
+      i += 1
+    }
+    var n = 0
+    val na = a.numElements()
+    i = 0
+    while (i < na) {
+      if (set.remove(if (a.isNullAt(i)) null else a.getUTF8String(i))) n += 1
+      i += 1
+    }
+    n
+  }
+}
+
+case class IntersectCountExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"intersect_count expects (array<string>, array<string>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    IntersectCountImpl.count(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.IntersectCountImpl.count($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression) =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "intersect_count"
+}
+
 /** Per-band MinHash signatures in one pass: array of `bands` minima
   * (hex md5 strings or xxhash64 longs) over the text's k-code-point
   * windows — see [[HashKernels]] for the equivalence contract. */
@@ -485,6 +538,9 @@ object GraftColumns {
   def windowHashes(text: Column, k: Int, family: String): Column =
     GraftExprAccess.column(WindowHashesExpr(GraftExprAccess.expression(text),
       k, family))
+  def intersectCount(a: Column, b: Column): Column =
+    GraftExprAccess.column(IntersectCountExpr(GraftExprAccess.expression(a),
+      GraftExprAccess.expression(b)))
 }
 
 /** SparkSessionExtensions injector:

@@ -259,7 +259,11 @@ object Dedup {
       .drop("doc_id")
       .join(sets.withColumnRenamed("ngrams", "ngrams_b"), pairs("doc_b") === sets("doc_id"))
       .drop("doc_id")
-      .withColumn("inter", size(array_intersect(col("ngrams_a"), col("ngrams_b"))))
+      // intersect_count == size(array_intersect(...)) without building
+      // the intersection array (kernel — see IntersectCountImpl; dedup
+      // and null-element semantics match, FunctionsSpec differential)
+      .withColumn("inter",
+        graft.functions.GraftColumns.intersectCount(col("ngrams_a"), col("ngrams_b")))
       // |A ∪ B| = |A| + |B| - |A ∩ B| exactly (both sides are
       // array_distinct sets), so the union ARRAY never needs building —
       // array_union allocated a hash set + output array per pair, the

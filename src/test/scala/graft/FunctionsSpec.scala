@@ -206,6 +206,25 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("intersect_count == size(array_intersect), incl. dups, nulls, null arrays") {
+    val ss = spark; import ss.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector("a", "bb", "ccc", "ddd", "あい", "x y", "", "𠮷野")
+    def arr(): Seq[String] =
+      Seq.fill(rnd.nextInt(12))(
+        if (rnd.nextInt(20) == 0) null else vocab(rnd.nextInt(vocab.length)))
+    val rows: Seq[(Seq[String], Seq[String])] =
+      Seq((Seq("a", "a", "bb"), Seq("a", null)), (Seq(null, null), Seq(null)),
+        (Seq.empty[String], Seq("a")), (null, Seq("a")), (Seq("a"), null)) ++
+      (0 until 300).map(_ => (arr(), arr()))
+    val df = rows.toDF("a", "b")
+      .withColumn("want", size(array_intersect(col("a"), col("b"))))
+      .withColumn("got", graft.functions.GraftColumns.intersectCount(col("a"), col("b")))
+    val bad = df.where(not(col("got") <=> col("want"))).collect()
+    assert(bad.isEmpty, s"intersect_count mismatches: ${bad.take(3).mkString(";")}")
+  }
+
   test("expressions usable over a table scan") {
     val ss = spark; import ss.implicits._
     val docs = Seq(("a", "信頼性の設計"), ("b", "信頼性の設訃")).toDF("id", "t")
