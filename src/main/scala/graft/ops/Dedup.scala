@@ -164,10 +164,12 @@ object Dedup {
     * estimator nudge.)
     *
     * Entirely map-side: min is duplicate-insensitive (multiset min ==
-    * set min), so no distinct/shuffle is needed — the per-band minima
-    * fold in-row over the shingle array. At 100 TB this stage is a pure
-    * scan; the only data shuffle in the dedup path is the band-bucket
-    * join (the doc/band agg exchange moves docs x bands summary rows).
+    * set min), so no distinct/shuffle is needed — since r7 the per-band
+    * minima fold in ONE codegen kernel call per row
+    * ([[graft.functions.HashKernels]]): no exploded shingle×band rows,
+    * no hash-aggregate, zero derivation exchanges. At 100 TB this stage
+    * is a pure scan; the only data shuffle in the dedup path is the
+    * band-bucket join of the docs × bands signature rows.
     *
     * `spread` (default true) repartitions the input before the hashing
     * pass — needed for the small-file gate inputs (a 600 KB parquet is

@@ -41,25 +41,40 @@ object ExtractRelational {
     case ListEl(items, lt, ra) => FlatElement("list", "", 0, ra, items, lt)
   }
 
+  /** Per-doc parse as a plain function — shared by the encoder-backed
+    * [[parse]] Dataset stage and the fused no-persist passes in
+    * [[spans]] (which keep the ParsedDoc as a JVM object and never pay
+    * the nested-row encoder round trip). */
+  private[pipeline] def parseOne(doc: InputDoc): ParsedDoc = {
+    val lines = doc.spans.sortBy(_.offset).map(_.text).toIndexedSeq
+    val out = PageParser.parseDocument(lines)
+    ParsedDoc(
+      doc.doc_id,
+      out.pages.map(p => FlatPage(p.number, p.sourceFile, p.elements.map(flatten),
+        p.figures.map(_.path), p.figures.map(_.caption),
+        p.metadata.map(_.text).getOrElse(""), p.metadata.map(_.metaType).getOrElse(""),
+        p.metadata.isDefined)),
+      out.errors,
+      out.tocEntries.map(_.text), out.tocEntries.map(_.level),
+      out.tocEntries.map(_.number), out.tocEntries.map(_.page)
+    )
+  }
+
   /** Stage A: per-doc parse (narrow, one pass). */
   def parse(docs: Dataset[InputDoc]): Dataset[ParsedDoc] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.mapPartitions(_.map { doc =>
-      val lines = doc.spans.sortBy(_.offset).map(_.text).toIndexedSeq
-      val out = PageParser.parseDocument(lines)
-      ParsedDoc(
-        doc.doc_id,
-        out.pages.map(p => FlatPage(p.number, p.sourceFile, p.elements.map(flatten),
-          p.figures.map(_.path), p.figures.map(_.caption),
-          p.metadata.map(_.text).getOrElse(""), p.metadata.map(_.metaType).getOrElse(""),
-          p.metadata.isDefined)),
-        out.errors,
-        out.tocEntries.map(_.text), out.tocEntries.map(_.level),
-        out.tocEntries.map(_.number), out.tocEntries.map(_.page)
-      )
-    })
+    docs.mapPartitions(_.map(parseOne))
   }
+
+  /** The (doc_id, normalized text, level, seq, n_pages) heading rows a
+    * ParsedDoc contributes to the running-head aggregation — one
+    * definition so the encoder-backed and fused paths cannot drift. */
+  private def headingRows(d: ParsedDoc): Seq[(String, String, Int, Long, Int)] =
+    d.pages.flatMap(_.elements).collect { case e if e.kind == "heading" => e }
+      .zipWithIndex.map { case (e, i) =>
+        (d.doc_id, graft.text.Normalize.dashes(e.text), e.level, i.toLong, d.pages.length)
+      }
 
   /** Stage B+C: the wide running-head aggregation. Returns (doc_id,
     * norm_text) rows for detected running heads.
@@ -72,12 +87,18 @@ object ExtractRelational {
     val spark = parsed.sparkSession
     import spark.implicits._
 
-    val headings = parsed.flatMap { d =>
-      d.pages.flatMap(_.elements).collect { case e if e.kind == "heading" => e }
-        .zipWithIndex.map { case (e, i) =>
-          (d.doc_id, graft.text.Normalize.dashes(e.text), e.level, i.toLong, d.pages.length)
-        }
-    }.toDF("doc_id", "norm_text", "level", "seq", "n_pages")
+    val headings = parsed.flatMap(headingRows _)
+      .toDF("doc_id", "norm_text", "level", "seq", "n_pages")
+    runningHeadsFromRows(headings, thresholdRatio)
+  }
+
+  /** The relational running-head aggregation over already-extracted
+    * heading rows (doc_id, norm_text, level, seq, n_pages). */
+  private def runningHeadsFromRows(headingRows: DataFrame,
+      thresholdRatio: Double): DataFrame = {
+    val spark = headingRows.sparkSession
+    import spark.implicits._
+    val headings = headingRows
       // ONE exchange for the whole aggregation chain: hash-partitioning
       // by doc_id alone satisfies ClusteredDistribution for BOTH groupBys
       // (doc_id is a subset of each grouping key — rows of a group can
@@ -191,17 +212,29 @@ object ExtractRelational {
   @volatile private var lastPersisted: Option[Dataset[ParsedDoc]] = None
 
   /** Full relational pipeline. `parsed` feeds BOTH the running-head
-    * aggregation and the emission, so it is persisted (serialized,
-    * spills to disk) — without it the dominant parse stage executes
-    * twice. At 100 TB the persist trades one extra materialization of
-    * the parsed corpus (≈ input-sized, evicted under pressure) against
-    * a full second parse; callers that prefer recompute (e.g. cheap
-    * parse, scarce storage) can pass persistParsed = false. */
+    * aggregation and the emission; the two modes trade differently:
+    *
+    *  - persistParsed = true (default): parse ONCE, persist the
+    *    ParsedDoc dataset (serialized, spills to disk), both branches
+    *    read the cache. Right when the parse dominates (real OCR-page
+    *    corpora at scale) — the price is the nested-row encoder round
+    *    trip into and out of the columnar cache on every branch.
+    *  - persistParsed = false: parse TWICE, but FUSED — each branch
+    *    calls [[parseOne]] inside its own mapPartitions and keeps the
+    *    ParsedDoc as a plain JVM object, so the deeply-nested rows are
+    *    never encoded at all (the r7 BenchExtra measurement: the cache
+    *    round trip cost ~2x the parse itself on the gate corpus, and
+    *    the pre-fusion no-persist path still paid TWO encoder round
+    *    trips per branch — mapPartitions out, flatMap/joinWith in).
+    *    Right when the parse is cheap relative to row width.
+    *
+    * Output is identical in both modes (and to the fused [[Extract]] —
+    * the equivalence spec pins all of them). */
   def spans(docs: Dataset[InputDoc], thresholdRatio: Double = 0.5,
       persistParsed: Boolean = true): Dataset[OutSpan] = {
+    if (!persistParsed) return spansFused(docs, thresholdRatio)
     val parsed0 = parse(docs)
-    val parsed =
-      if (persistParsed) {
+    val parsed = {
         val p = parsed0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
         synchronized {
           // the previous cache may belong to a STOPPED SparkContext (a
@@ -217,7 +250,30 @@ object ExtractRelational {
           lastPersisted = Some(p)
         }
         p
-      } else parsed0
+      }
     emit(parsed, runningHeads(parsed, thresholdRatio))
+  }
+
+  /** The no-persist composition: running-head aggregation over heading
+    * rows emitted straight from a fused parse (Stage A+headings in one
+    * narrow pass), then a second fused parse+emit joined with the tiny
+    * running-head sets. Same relational Stage B/C plan as [[emit]] /
+    * [[runningHeads]] — only the ParsedDoc encoder round trips are
+    * gone. */
+  private def spansFused(docs: Dataset[InputDoc], thresholdRatio: Double): Dataset[OutSpan] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val headings = docs.mapPartitions(_.flatMap(d => headingRows(parseOne(d))))
+      .toDF("doc_id", "norm_text", "level", "seq", "n_pages")
+    val rhSets = runningHeadsFromRows(headings, thresholdRatio)
+      .groupBy($"doc_id").agg(collect_set($"norm_text").as("rh"))
+    val joined = docs
+      .joinWith(rhSets, docs("doc_id") === rhSets("doc_id"), "left_outer")
+    joined.mapPartitions(_.flatMap { case (d, rhRow) =>
+      val rh: Set[String] =
+        if (rhRow == null) Set.empty
+        else rhRow.getAs[scala.collection.Seq[String]]("rh").toSet
+      emitDoc(parseOne(d), rh)
+    })
   }
 }
