@@ -250,7 +250,7 @@ object BenchAB {
           s.read.parquet(s"$dir/documents.parquet")
             .select(col("doc_id"), col("text")).as[(Long, String)]
             .mapPartitions(_.map { case (id, text) =>
-              val base = text.take(240)
+              val base = Option(text).getOrElse("").take(240)
               val degraded = base.replaceAll("[aeiouあい]", "")
               val engines = Vector("yomitoku", "paddleocr", "easyocr")
               val bad = (id % 3).toInt
@@ -367,7 +367,9 @@ object BenchAB {
     s.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
-        val line = text.take(160)
+        // null-text guard (ADVICE r6): the dedup trio supports null-text
+        // corpora; an A/B arm must not NPE on one
+        val line = Option(text).getOrElse("").take(160)
         val texts = Vector("yomitoku" -> line, "paddleocr" -> line, "easyocr" -> line)
         val pos = graft.vote.Rover.alignTextsCharacterLevel(texts, eqShortcut)
         (id, pos.length)
@@ -387,7 +389,8 @@ object BenchAB {
     s.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
-        val base = text.take(240)
+        // null-text guard (ADVICE r6)
+        val base = Option(text).getOrElse("").take(240)
         val degraded = base.replaceAll("[aeiouあい]", "")
         val texts = Vector(base, base, degraded)
         var sim = 0.0
