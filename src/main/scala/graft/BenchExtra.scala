@@ -119,6 +119,23 @@ object BenchExtra {
             explode(slice(col("members"), col("i") + lit(2), size(col("members")))).as("b"))
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       },
+      // ---- q_dup_spans hash-window floor probes -----------------------
+      "dup_spans_exch_only" -> { s => // exchange of the position rows, no sort/window
+        val d = docs(s).repartition(s.sparkContext.defaultParallelism * 2, col("doc_id"))
+        d.select(col("doc_id"),
+          posexplode(graft.functions.GraftColumns.windowHashes(col("text"), 8, "xxhash64"))
+            .as(Seq("off", "h")))
+          .select(col("doc_id"), (col("off") + 1).cast("long").as("pos"), col("h"))
+          .repartition(col("h"))
+      },
+      "dup_spans_exch_sort" -> { s => // + the within-partition sort the window needs
+        val d = docs(s).repartition(s.sparkContext.defaultParallelism * 2, col("doc_id"))
+        d.select(col("doc_id"),
+          posexplode(graft.functions.GraftColumns.windowHashes(col("text"), 8, "xxhash64"))
+            .as(Seq("off", "h")))
+          .select(col("doc_id"), (col("off") + 1).cast("long").as("pos"), col("h"))
+          .repartition(col("h")).sortWithinPartitions("h")
+      },
       // ---- q_dup_spans first-shuffle shape A/B ------------------------
       "dup_spans_win1_agg" -> { s => // groupBy(h) min/max + join-back instead of window
         val d = docs(s).repartition(s.sparkContext.defaultParallelism * 2, col("doc_id"))
