@@ -340,6 +340,67 @@ case class IntersectCountExpr(left: Expression, right: Expression)
   override def prettyName: String = "intersect_count"
 }
 
+/** Generator emitting every ordered index pair (i < j) of an array as a
+  * two-column row — the bucket pair expansion of the capped near-dup
+  * operators. The `posexplode(members)` + `explode(slice(members, i+2,
+  * size))` shape it replaces duplicated the FULL members array into
+  * every exploded row and then built a sliced copy per row: O(m²)
+  * array-element materializations per bucket versus this generator's
+  * O(m²) bare pair rows (BenchExtra/EmbedProbe: the expansion stage of
+  * a 50 M-pair corpus spent 10-18 s in those copies). Emission order per
+  * bucket is (0,1), (0,2), …, (1,2), … over the sort_array'd members —
+  * the same pair SET the two-generate shape produced. */
+case class PairExplodeExpr(child: Expression)
+    extends UnaryExpression with org.apache.spark.sql.catalyst.expressions.Generator
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(_, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pair_explode expects an array, got ${other.simpleString}")
+    }
+  private lazy val elemType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+  private lazy val elemNullable: Boolean =
+    child.dataType.asInstanceOf[ArrayType].containsNull
+  override def elementSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("a", elemType, elemNullable),
+      org.apache.spark.sql.types.StructField("b", elemType, elemNullable)))
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow)
+      : IterableOnce[org.apache.spark.sql.catalyst.InternalRow] = {
+    val arr = child.eval(input).asInstanceOf[ArrayData]
+    if (arr == null || arr.numElements() < 2) Iterator.empty
+    else {
+      val n = arr.numElements()
+      // extract elements ONCE (UnsafeRow/UTF8String slices share the
+      // array's buffer; the ArrayData stays referenced for the whole
+      // iteration)
+      val elems = new Array[Any](n)
+      var i = 0
+      while (i < n) { elems(i) = arr.get(i, elemType); i += 1 }
+      new Iterator[org.apache.spark.sql.catalyst.InternalRow] {
+        private var a = 0
+        private var b = 1
+        override def hasNext: Boolean = a < n - 1
+        override def next(): org.apache.spark.sql.catalyst.InternalRow = {
+          // fresh row per pair: GenerateExec pipelines rows through an
+          // unsafe projection, but downstream operators may buffer
+          val out = org.apache.spark.sql.catalyst.InternalRow(elems(a), elems(b))
+          b += 1
+          if (b >= n) { a += 1; b = a + 1 }
+          out
+        }
+      }
+    }
+  }
+  override protected def withNewChildInternal(newChild: Expression) = copy(child = newChild)
+  override def prettyName: String = "pair_explode"
+}
+
 /** Per-band MinHash signatures in one pass: array of `bands` minima
   * (hex md5 strings or xxhash64 longs) over the text's k-code-point
   * windows — see [[HashKernels]] for the equivalence contract. */
@@ -541,6 +602,8 @@ object GraftColumns {
   def intersectCount(a: Column, b: Column): Column =
     GraftExprAccess.column(IntersectCountExpr(GraftExprAccess.expression(a),
       GraftExprAccess.expression(b)))
+  def pairExplode(members: Column): Column =
+    GraftExprAccess.column(PairExplodeExpr(GraftExprAccess.expression(members)))
 }
 
 /** SparkSessionExtensions injector:

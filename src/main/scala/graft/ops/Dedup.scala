@@ -112,6 +112,33 @@ object Dedup {
     }
   }
 
+  /** DISTINCT specialized for the candidate-pair streams: exchange on
+    * all columns, sort within partitions, drop consecutive duplicates in
+    * one linear scan. The planner's `distinct()` is a two-phase hash
+    * aggregate whose group count here ~equals the row count (candidate
+    * pairs repeat at most `bands`/`nBlocks` times and only across
+    * bands), so the partial aggregate collapses almost nothing while
+    * both phases build row-count-sized hash maps — measured 2.9× slower
+    * than this shape at a 50 M-pair corpus (EmbedProbe2:
+    * hash-distinct 56 s vs 19.6 s; identical counts), and the two are
+    * identical at gate tiers. Spill-safe: the sort is ExternalSorter.
+    * Row equality is Spark's value-based [[org.apache.spark.sql.Row]]
+    * equals (null-safe; binary-aware), matching distinct's grouping for
+    * every atomic column type the pair streams carry. */
+  private[graft] def sortedDistinct(df: DataFrame): DataFrame = {
+    val cols = df.columns.map(col).toIndexedSeq
+    val sorted = df.repartition(cols: _*).sortWithinPartitions(cols: _*)
+    val enc = org.apache.spark.sql.Encoders.row(sorted.schema)
+    sorted.mapPartitions { it =>
+      var last: org.apache.spark.sql.Row = null
+      it.filter { r =>
+        val keep = last == null || r != last
+        if (keep) last = r
+        keep
+      }
+    }(enc)
+  }
+
   /** Uncapped modes drop nothing: resolve the caller's Observation with
     * zeros so it always delivers regardless of the maxBucket setting. */
   private[ops] def observeZeros(df: DataFrame,
@@ -234,19 +261,19 @@ object Dedup {
     } else {
       // capped: count-first bucket materialization (see [[cappedBuckets]]
       // — collect_list buffers bounded by maxBucket, hot buckets dropped
-      // before any list exists), pairs expand in-row (<= maxBucket^2) —
-      // no self-join; ReuseExchange shuffles the signatures once.
+      // before any list exists), pairs expand in-row (<= maxBucket^2) via
+      // the pair_explode generator — no self-join (ReuseExchange shuffles
+      // the signatures once) and no per-row duplication of the members
+      // array (the old posexplode + explode(slice) shape materialized
+      // O(m^2) array elements per bucket; [[graft.functions.PairExplodeExpr]]).
       val buckets = cappedBuckets(signatures, Seq("band", "sig"),
         col("doc_id"), maxBucket, suppressed, hotKeyPrefilter)
-      buckets
-        .select(col("members"), posexplode(col("members")))
-        .withColumnRenamed("pos", "i").withColumnRenamed("col", "doc_a")
-        .select(col("doc_a"),
-          explode(slice(col("members"), col("i") + lit(2), size(col("members")))).as("doc_b"))
+      sortedDistinct(buckets
+        .select(graft.functions.GraftColumns.pairExplode(col("members"))
+          .as(Seq("doc_a", "doc_b")))
         // duplicate ids in the input would otherwise pair with themselves
         // (the uncapped join's strict < excludes them)
-        .where(col("doc_a") < col("doc_b"))
-        .distinct()
+        .where(col("doc_a") < col("doc_b")))
     }
   }
 
@@ -389,16 +416,15 @@ object Dedup {
       } else {
         // capped: count-first bucket materialization ([[cappedBuckets]] —
         // buffers bounded by maxBucket, hot buckets never collected),
-        // pairs expand in-row — no self-join. sort_array orders struct
-        // members by doc_id (first field), so in-row (i, j>i) expansion
-        // preserves the doc_a < doc_b contract.
+        // pairs expand in-row via pair_explode — no self-join, no per-row
+        // members-array duplication. sort_array orders struct members by
+        // doc_id (first field), so (i, j>i) expansion preserves the
+        // doc_a < doc_b contract.
         val buckets = cappedBuckets(blocks, Seq("blk", "key"),
           struct(col("doc_id"), col("simhash")), maxBucket, suppressed, hotKeyPrefilter)
         buckets
-          .select(col("members"), posexplode(col("members")))
-          .withColumnRenamed("pos", "i").withColumnRenamed("col", "a")
-          .select(col("a"),
-            explode(slice(col("members"), col("i") + lit(2), size(col("members")))).as("b"))
+          .select(graft.functions.GraftColumns.pairExplode(col("members"))
+            .as(Seq("a", "b")))
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
             col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
           // duplicate doc_id rows would otherwise self-pair (the uncapped
@@ -416,10 +442,9 @@ object Dedup {
     // groups exactly like the old pre-filter 4-col one (duplicate-id
     // corpora can carry one (doc_a, doc_b) at several signature combos,
     // and the old shape kept each; value-preserving)
-    val result = pairs
+    val result = sortedDistinct(pairs
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
-      .where(col("hamming") <= maxDist)
-      .distinct()
+      .where(col("hamming") <= maxDist))
       .select("doc_a", "doc_b", "hamming")
     if (maxBucket == Int.MaxValue)
       suppressed.fold(result)(observeZeros(result, _))

@@ -132,15 +132,17 @@ object Similarity {
     val buckets = Dedup.cappedBuckets(sigs, Seq("band", "sig"),
       col("id"), maxBucket, suppressed, hotKeyPrefilter)
     val candidates = buckets
-      .select(col("members"), posexplode(col("members")))
-      .withColumnRenamed("pos", "i").withColumnRenamed("col", "id_a")
-      .select(col("id_a"),
-        explode(slice(col("members"), col("i") + lit(2), size(col("members")))).as("id_b"))
+      // pair_explode: direct (i, j>i) pair rows — the old posexplode +
+      // explode(slice) shape duplicated the members array per exploded
+      // row, O(m^2) array elements per bucket (EmbedProbe: 10-18 s of a
+      // 50 M-pair corpus's expansion stage)
+      .select(graft.functions.GraftColumns.pairExplode(col("members"))
+        .as(Seq("id_a", "id_b")))
       // duplicate ids would otherwise self-pair at cosine 1.0
       .where(col("id_a") < col("id_b"))
-      .distinct() // dedup across bands before any pairwise scoring
+    val deduped = Dedup.sortedDistinct(candidates) // dedup across bands before any pairwise scoring
     val vecs = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    candidates
+    deduped
       .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
       .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))
       .withColumn("sim", cosine(col("vec_a"), col("vec_b")))

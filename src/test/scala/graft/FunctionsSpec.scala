@@ -225,6 +225,39 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bad.isEmpty, s"intersect_count mismatches: ${bad.take(3).mkString(";")}")
   }
 
+  test("pair_explode == posexplode+slice expansion (longs, structs, dups, empty, null)") {
+    val ss = spark; import ss.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(17)
+    val rows: Seq[Seq[Long]] =
+      Seq(Seq.empty[Long], Seq(1L), Seq(1L, 2L), Seq(3L, 3L, 3L), null) ++
+      (0 until 60).map(_ => Seq.fill(rnd.nextInt(12))(rnd.nextInt(6).toLong))
+    val df = rows.zipWithIndex.map { case (m, i) => (i.toLong, m) }.toDF("bid", "members")
+    // plain long members
+    val old1 = df.select(col("bid"), col("members"), posexplode(col("members")))
+      .withColumnRenamed("pos", "i").withColumnRenamed("col", "a")
+      .select(col("bid"), col("a"),
+        explode(slice(col("members"), col("i") + lit(2), size(col("members")))).as("b"))
+    val new1 = df.select(col("bid"),
+      graft.functions.GraftColumns.pairExplode(col("members")).as(Seq("a", "b")))
+    def bag(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    assert(bag(old1) == bag(new1), "long members: pair multiset differs")
+    // struct members (the simhash shape), incl. duplicate structs
+    val sdf = df.select(col("bid"),
+      transform(col("members"), m => struct(m.as("doc_id"), (m * 7).as("simhash")))
+        .as("members"))
+    val old2 = sdf.select(col("bid"), col("members"), posexplode(col("members")))
+      .withColumnRenamed("pos", "i").withColumnRenamed("col", "a")
+      .select(col("bid"), col("a"),
+        explode(slice(col("members"), col("i") + lit(2), size(col("members")))).as("b"))
+      .select(col("bid"), col("a.doc_id"), col("a.simhash"), col("b.doc_id"), col("b.simhash"))
+    val new2 = sdf.select(col("bid"),
+      graft.functions.GraftColumns.pairExplode(col("members")).as(Seq("a", "b")))
+      .select(col("bid"), col("a.doc_id"), col("a.simhash"), col("b.doc_id"), col("b.simhash"))
+    assert(bag(old2) == bag(new2), "struct members: pair multiset differs")
+  }
+
   test("expressions usable over a table scan") {
     val ss = spark; import ss.implicits._
     val docs = Seq(("a", "信頼性の設計"), ("b", "信頼性の設訃")).toDF("id", "t")
